@@ -1,0 +1,131 @@
+"""SMPL barycentric flow engine.
+
+Re-design of the reference's ``float_estimate`` (``src/cal_flow.py:13-39``)
+plus ``SMPLRenderer.render_fim_wim`` / ``cal_bc_transform``
+(``src/nmr.py:263-278, 617-659``): render source and target poses to
+face-index/weight maps, transform each target pixel to the source-image
+location of its face's vertices blended by barycentric weights, then
+backward-warp the source image.
+
+The reference's per-batch-item Python loop in ``cal_bc_transform`` becomes a
+batched gather; the whole engine is one jittable function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jafpro_tpu.config import default_smpl_faces_path
+from jafpro_tpu.geometry.projection import project_to_view, vertices_to_faces
+from jafpro_tpu.geometry.rasterizer import rasterize_fim_wim
+from jafpro_tpu.ops.sampling import grid_sample
+
+
+def cal_bc_transform(
+    src_f2pts: jnp.ndarray, dst_fims: jnp.ndarray, dst_wims: jnp.ndarray
+) -> jnp.ndarray:
+    """Barycentric transform map (reference ``nmr.py:617-659``, de-looped).
+
+    Args:
+      src_f2pts: (B, F, 3, 2) source-image xy of each face's vertices.
+      dst_fims:  (B, S, S) int32 target face-index map (-1 = background).
+      dst_wims:  (B, S, S, 3) target barycentric weights.
+    Returns:
+      (B, S, S, 2) sampling grid into the source image; -2 at background.
+    """
+    B, S, _ = dst_fims.shape
+    exist = dst_fims >= 0
+    safe = jnp.where(exist, dst_fims, 0)
+
+    # gather (B, S, S, 3, 2) face-vertex positions
+    def gather_one(f2pts, fim):
+        return f2pts[fim]  # (S, S, 3, 2)
+
+    gathered = jax.vmap(gather_one)(src_f2pts, safe)
+    T = jnp.sum(gathered * dst_wims[..., None], axis=3)  # (B, S, S, 2)
+    return jnp.where(exist[..., None], T, -2.0)
+
+
+@dataclasses.dataclass
+class SMPLFlowEngine:
+    """Holds the static face topology; all methods are jit-friendly.
+
+    The default face set is the 13776-triangle SMPL topology loaded from the
+    standard ``smpl_faces.npy`` asset (auto-discovered); tests may pass a
+    small synthetic topology.
+    """
+
+    faces: np.ndarray  # (F, 3) int32
+    image_size: int = 256
+    near: float = 0.1
+    far: float = 25.0
+    viewing_angle: float = 30.0
+    chunk: int = 512
+
+    @classmethod
+    def create(
+        cls, faces: Optional[np.ndarray] = None, image_size: int = 256, **kw
+    ) -> "SMPLFlowEngine":
+        if faces is None:
+            path = default_smpl_faces_path()
+            if path is None:
+                raise FileNotFoundError(
+                    "smpl_faces.npy not found; set JAFPRO_SMPL_FACES or pass faces"
+                )
+            faces = np.load(path).astype(np.int32)
+        return cls(faces=np.asarray(faces, np.int32), image_size=image_size, **kw)
+
+    def render_fim_wim(self, cam: jnp.ndarray, vertices: jnp.ndarray):
+        """cam: (B, 3), vertices: (B, V, 3) ->
+        (f2verts (B,F,3,3) view-space, fim (B,S,S), wim (B,S,S,3)).
+        Reference ``nmr.py:263-278``.
+        """
+        view_verts = project_to_view(vertices, cam, self.viewing_angle)
+        fv = vertices_to_faces(view_verts, jnp.asarray(self.faces))
+        fim, wim = rasterize_fim_wim(
+            fv, image_size=self.image_size, near=self.near,
+            far=self.far, chunk=self.chunk,
+        )
+        return fv, fim, wim
+
+    def cal_flow(
+        self,
+        src_cam: jnp.ndarray,
+        src_vertices: jnp.ndarray,
+        tgt_cam: jnp.ndarray,
+        tgt_vertices: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Dense target->source sampling grid (B, S, S, 2).
+
+        Reference ``cal_flow.py:28-35``: the source faces' xy keep the
+        projected x and un-flip y (the render path flipped it), i.e. the
+        grid is in grid_sample's normalized coords of the source image.
+        """
+        src_f2verts, _, _ = self.render_fim_wim(src_cam, src_vertices)
+        src_f2pts = src_f2verts[..., 0:2]
+        src_f2pts = src_f2pts.at[..., 1].multiply(-1.0)
+        _, tsf_fim, tsf_wim = self.render_fim_wim(tgt_cam, tgt_vertices)
+        return cal_bc_transform(src_f2pts, tsf_fim, tsf_wim)
+
+    def warp_image(self, src_image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        """grid_sample with border padding (reference ``cal_flow.py:37-39``).
+        src_image: (B, S, S, C) NHWC."""
+        return grid_sample(src_image, flow, padding_mode="border")
+
+    def __call__(
+        self,
+        src_img: jnp.ndarray,
+        src_cam: jnp.ndarray,
+        src_vertices: jnp.ndarray,
+        tgt_cam: jnp.ndarray,
+        tgt_vertices: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """tsf_image = warp(src_img, flow(src->tgt)); the ``float_estimate``
+        forward (reference ``cal_flow.py:21-26``)."""
+        flow = self.cal_flow(src_cam, src_vertices, tgt_cam, tgt_vertices)
+        return self.warp_image(src_img, flow)

@@ -1,0 +1,10 @@
+from jafpro_tpu.models.conv_lstm import ConvLSTMCell, ConvLSTM  # noqa: F401
+from jafpro_tpu.models.accumulate import AccumulateLSTM  # noqa: F401
+from jafpro_tpu.models.inpainter import UNetInpainter  # noqa: F401
+from jafpro_tpu.models.crn import CRN, CRNSmall, CRNSmaller  # noqa: F401
+from jafpro_tpu.models.propagation import Propagation3DFlowNet  # noqa: F401
+from jafpro_tpu.models.discriminators import (  # noqa: F401
+    ImageDiscriminator,
+    FaceDiscriminator,
+)
+from jafpro_tpu.models.vgg import VGG19Features  # noqa: F401

@@ -1,0 +1,206 @@
+"""Geometry tests: rasterizer vs an independent numpy z-buffer oracle,
+SMPL LBS sanity, and the flow engine's self-consistency."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jafpro_tpu.geometry import (
+    SMPLModel,
+    SMPLFlowEngine,
+    rasterize_fim_wim,
+    cal_bc_transform,
+    orthographic_proj_withz_idrot,
+    look_at,
+    default_eye,
+)
+from jafpro_tpu.geometry.projection import project_to_view, vertices_to_faces
+
+RNG = np.random.RandomState(42)
+
+
+def numpy_raster_oracle(fv, S, near, far):
+    """Brute-force per-pixel z-buffer implementing the NMR semantics
+    (pixel-center coords, backface cull, half-plane tests, clamped
+    barycentric weights from the pixel-space inverse matrix,
+    perspective-correct depth, first-face-wins)."""
+    F = fv.shape[0]
+    fim = -np.ones((S, S), np.int32)
+    wim = np.zeros((S, S, 3), np.float64)
+    depth = np.full((S, S), far, np.float64)
+    p = 0.5 * (fv[:, :, :2] * S + S - 1)
+    for yi in range(S):
+        yp = (2.0 * yi + 1 - S) / S
+        for xi in range(S):
+            xp = (2.0 * xi + 1 - S) / S
+            for fn in range(F):
+                x, y, z = fv[fn, :, 0], fv[fn, :, 1], fv[fn, :, 2]
+                if (y[2] - y[0]) * (x[1] - x[0]) < (y[1] - y[0]) * (x[2] - x[0]):
+                    continue
+                if ((yp - y[0]) * (x[1] - x[0]) < (xp - x[0]) * (y[1] - y[0]) or
+                        (yp - y[1]) * (x[2] - x[1]) < (xp - x[1]) * (y[2] - y[1]) or
+                        (yp - y[2]) * (x[0] - x[2]) < (xp - x[2]) * (y[0] - y[2])):
+                    continue
+                q = p[fn]
+                inv = np.array([
+                    [q[1, 1] - q[2, 1], q[2, 0] - q[1, 0],
+                     q[1, 0] * q[2, 1] - q[2, 0] * q[1, 1]],
+                    [q[2, 1] - q[0, 1], q[0, 0] - q[2, 0],
+                     q[2, 0] * q[0, 1] - q[0, 0] * q[2, 1]],
+                    [q[0, 1] - q[1, 1], q[1, 0] - q[0, 0],
+                     q[0, 0] * q[1, 1] - q[1, 0] * q[0, 1]]])
+                den = (q[2, 0] * (q[0, 1] - q[1, 1]) + q[0, 0] * (q[1, 1] - q[2, 1])
+                       + q[1, 0] * (q[2, 1] - q[0, 1]))
+                inv = inv / den
+                w = inv @ np.array([xi, yi, 1.0])
+                w = np.clip(w, 0.0, 1.0)
+                w = w / w.sum()
+                zp = 1.0 / (w[0] / z[0] + w[1] / z[1] + w[2] / z[2])
+                if zp <= near or zp >= far:
+                    continue
+                if zp < depth[yi, xi]:
+                    depth[yi, xi] = zp
+                    fim[yi, xi] = fn
+                    wim[yi, xi] = w
+    return fim, wim
+
+
+def random_faces(n_faces, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-0.8, 0.8, size=(n_faces, 1, 3))
+    offsets = rng.uniform(-0.35, 0.35, size=(n_faces, 3, 3))
+    fv = (centers + offsets).astype(np.float32)
+    fv[:, :, 2] = rng.uniform(1.0, 5.0, size=(n_faces, 3))
+    return fv
+
+
+@pytest.mark.parametrize("chunk", [7, 64])
+def test_rasterizer_matches_oracle(chunk):
+    S, near, far = 32, 0.1, 25.0
+    fv = random_faces(50, seed=1)
+    fim, wim = rasterize_fim_wim(jnp.asarray(fv)[None], image_size=S,
+                                 near=near, far=far, chunk=chunk, flip_y=False)
+    fim, wim = np.asarray(fim[0]), np.asarray(wim[0])
+    ref_fim, ref_wim = numpy_raster_oracle(fv.astype(np.float64), S, near, far)
+    cover = ref_fim >= 0
+    assert cover.sum() > 50  # the scene actually hits pixels
+    np.testing.assert_array_equal(fim, ref_fim)
+    np.testing.assert_allclose(wim[cover], ref_wim[cover], atol=1e-4)
+    assert (wim[~cover] == 0).all()
+
+
+def test_rasterizer_near_far_cull():
+    S = 16
+    fv = random_faces(10, seed=3)
+    fim, _ = rasterize_fim_wim(jnp.asarray(fv)[None], image_size=S,
+                               near=10.0, far=11.0, chunk=4)
+    assert (np.asarray(fim) == -1).all()  # all faces have z in [1, 5]
+
+
+def test_projection_and_look_at():
+    X = RNG.randn(2, 10, 3).astype(np.float32)
+    cam = np.array([[1.2, 0.1, -0.2], [0.8, 0.0, 0.3]], np.float32)
+    out = np.asarray(orthographic_proj_withz_idrot(jnp.asarray(X), jnp.asarray(cam)))
+    expect_xy = cam[:, :1, None] * (X[..., :2] + cam[:, None, 1:3])
+    np.testing.assert_allclose(out[..., :2], expect_xy.reshape(2, 10, 2), atol=1e-5)
+    np.testing.assert_allclose(out[..., 2], X[..., 2], atol=1e-6)
+
+    # default JAFPro eye: look_at is a pure z-translation
+    eye = default_eye(30.0)
+    v = jnp.asarray(X)
+    out = np.asarray(look_at(v, eye))
+    np.testing.assert_allclose(out[..., :2], X[..., :2], atol=1e-5)
+    np.testing.assert_allclose(out[..., 2], X[..., 2] - eye[2], atol=1e-5)
+
+    # project_to_view fuses proj + y-flip + translate
+    pv = np.asarray(project_to_view(v, jnp.asarray(cam), 30.0))
+    np.testing.assert_allclose(pv[..., 0], expect_xy[..., 0], atol=1e-5)
+    np.testing.assert_allclose(pv[..., 1], -expect_xy[..., 1], atol=1e-5)
+    np.testing.assert_allclose(pv[..., 2], X[..., 2] - eye[2], atol=1e-5)
+
+
+def test_smpl_lbs_properties():
+    model = SMPLModel.synthetic(num_verts=32)
+    beta = jnp.asarray(RNG.randn(2, 10).astype(np.float32))
+    theta0 = jnp.zeros((2, 72), jnp.float32)
+    verts0, joints0, Rs0 = model(beta, theta0)
+    assert verts0.shape == (2, 32, 3) and joints0.shape == (2, 19, 3)
+    # zero pose => rotations are identity, verts == shaped template
+    np.testing.assert_allclose(
+        np.asarray(Rs0), np.broadcast_to(np.eye(3), (2, 24, 3, 3)), atol=1e-5
+    )
+    v_shaped = (np.asarray(beta) @ np.asarray(model.shapedirs)).reshape(2, 32, 3) \
+        + np.asarray(model.v_template)
+    np.testing.assert_allclose(np.asarray(verts0), v_shaped, atol=1e-4)
+
+    # a global rigid rotation rotates all vertices around the root joint
+    theta_g = jnp.zeros((1, 72), jnp.float32).at[0, :3].set(
+        jnp.asarray([0.0, 0.0, np.pi / 2], jnp.float32))
+    verts_g, _, Rs_g = model(beta[:1], theta_g)
+    R = np.asarray(Rs_g)[0, 0]
+    np.testing.assert_allclose(
+        R, np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32), atol=1e-5)
+    root = np.asarray(
+        jnp.einsum("nvc,vk->nkc", verts0[:1], model.J_regressor))[0, 0]
+    expect = (np.asarray(verts0)[0] - root) @ R.T + root
+    np.testing.assert_allclose(np.asarray(verts_g)[0], expect, atol=1e-3)
+
+
+def test_rodrigues_matches_scipy():
+    from scipy.spatial.transform import Rotation
+    from jafpro_tpu.geometry import batch_rodrigues
+
+    vecs = RNG.randn(20, 3).astype(np.float32)
+    ours = np.asarray(batch_rodrigues(jnp.asarray(vecs)))
+    ref = Rotation.from_rotvec(vecs).as_matrix()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_cal_bc_transform_gather():
+    B, F, S = 2, 6, 8
+    f2pts = RNG.randn(B, F, 3, 2).astype(np.float32)
+    fim = RNG.randint(-1, F, size=(B, S, S)).astype(np.int32)
+    wim = RNG.rand(B, S, S, 3).astype(np.float32)
+    T = np.asarray(cal_bc_transform(jnp.asarray(f2pts), jnp.asarray(fim),
+                                    jnp.asarray(wim)))
+    for b in range(B):
+        for y in range(S):
+            for x in range(S):
+                if fim[b, y, x] < 0:
+                    np.testing.assert_allclose(T[b, y, x], -2.0)
+                else:
+                    e = (f2pts[b, fim[b, y, x]] * wim[b, y, x][:, None]).sum(0)
+                    np.testing.assert_allclose(T[b, y, x], e, atol=1e-5)
+
+
+def test_flow_engine_identity_warp():
+    """Same pose as source and target => the flow reconstructs (a smooth
+    approximation of) the identity inside the silhouette."""
+    # build a small fake body: a planar quad grid mesh facing the camera
+    n = 6
+    ys, xs = np.meshgrid(np.linspace(-0.5, 0.5, n), np.linspace(-0.5, 0.5, n),
+                         indexing="ij")
+    verts = np.stack([xs, ys, np.full_like(xs, 2.0)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b = i * n + j, i * n + j + 1
+            c, d = (i + 1) * n + j, (i + 1) * n + j + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    faces = np.asarray(faces, np.int32)
+    engine = SMPLFlowEngine.create(faces=faces, image_size=32, chunk=16)
+
+    cam = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    v = jnp.asarray(verts[None], jnp.float32)
+    flow = engine.cal_flow(cam, v, cam, v)
+    flow = np.asarray(flow)[0]
+    body = flow[..., 0] > -1.99
+    assert body.sum() > 100
+    # identity grid in align_corners coords
+    S = 32
+    gy, gx = np.meshgrid((2 * np.arange(S) + 1 - S) / S,
+                         (2 * np.arange(S) + 1 - S) / S, indexing="ij")
+    # with the NMR vertical flip, identity pose => identity flow
+    np.testing.assert_allclose(flow[..., 0][body], gx[body], atol=0.1)
+    np.testing.assert_allclose(flow[..., 1][body], gy[body], atol=0.1)
