@@ -1,0 +1,100 @@
+"""Benchmark: 4-reference, 30-frame, 256x256 video generation throughput.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is frames/sec/chip of the full flagship inference pipeline
+(texture accumulate + inpaint once per clip, then 30 scanned frames of
+warp -> refine -> fuse -> SMPL-flow -> propagate) on real SMPL topology
+(13776 faces).  ``vs_baseline`` compares against a recorded reference
+throughput in BENCH_BASELINE.json if present (the upstream repo publishes
+no numbers — BASELINE.md), else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jafpro_tpu.config import Config, default_smpl_faces_path
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+    from jafpro_tpu.infer import VideoGenerator
+    from jafpro_tpu.pipeline import JAFProPipeline
+    from jafpro_tpu.train.common import synthetic_quad_mesh
+
+    T, R, S, p = 30, 4, 256, 200
+
+    cfg = Config(image_size=S, part_size=p, maximum_ref_frames=R,
+                 compute_dtype="bfloat16")
+    path = default_smpl_faces_path()
+    if path is not None:
+        faces = np.load(path).astype(np.int32)
+        num_verts = int(faces.max()) + 1
+    else:
+        verts, faces = synthetic_quad_mesh(64)
+        num_verts = verts.shape[0]
+    engine = SMPLFlowEngine.create(
+        faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk)
+    pipe = JAFProPipeline(cfg, flow_engine=engine)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    iuv = np.zeros((T, S, S, 3), np.float32)
+    iuv[..., 0] = rng.randint(0, 25, (T, S, S))
+    iuv[..., 1:] = rng.randint(0, 256, (T, S, S, 2))
+    verts = rng.uniform(-0.5, 0.5, (T, num_verts, 3)).astype(np.float32)
+    verts[..., 2] += 2.0
+    clip = {
+        "src_parts": jnp.asarray(
+            rng.uniform(-1, 1, (1, R, 24, p, p, 3)), jnp.float32),
+        "src_mask_parts": jnp.asarray(
+            (rng.rand(1, R, 24, p, p) > 0.5), jnp.float32),
+        "ref_mask": jnp.ones((1, R), jnp.float32),
+        "bg_incomplete": jnp.asarray(
+            rng.uniform(-1, 1, (1, S, S, 3)), jnp.float32),
+        "src_imgs": jnp.asarray(
+            rng.uniform(-1, 1, (R, S, S, 3)), jnp.float32),
+        "chosen_frames": jnp.asarray([0, 9, 19, 29], jnp.int32),
+        "tgt_iuv255": jnp.asarray(iuv),
+        "tgt_iuv": jnp.asarray((iuv / 255.0 - 0.5) * 2.0, jnp.float32),
+        "smpl_mask": jnp.ones((T, S, S, 1), jnp.float32),
+        "cams": jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (T, 1)),
+        "verts": jnp.asarray(verts),
+    }
+
+    gen = VideoGenerator(pipe)
+    out = gen(params, clip)  # compile + warm
+    jax.block_until_ready(out["final"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = gen(params, clip)
+    jax.block_until_ready(out["final"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    fps = T / dt
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            baseline = json.load(open("BENCH_BASELINE.json")).get("value")
+        except Exception:
+            baseline = None
+    vs = (fps / baseline) if baseline else 1.0
+    print(json.dumps({
+        "metric": "video_gen_frames_per_sec_per_chip_256px_4ref_30f",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Packed-shard input pipeline (ctypes binding of native/shardio.cc).
+
+The reference re-decodes PNG/JPEG per sample in DataLoader workers —
+including 800x1200 atlases (``src/data.py:656-676``) — which cannot feed a
+TPU at device speed.  Here clips are packed once into fixed-size binary
+records; the C++ reader streams prefetched, batch-assembled buffers with
+zero Python in the hot loop.
+
+A record layout is declared by a spec: ordered (name, shape, dtype) fields.
+``pack_shard`` writes records; ``ShardReader`` yields batch dicts of numpy
+arrays backed by one contiguous buffer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Spec = Sequence[Tuple[str, Tuple[int, ...], str]]
+
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def build_library(force: bool = False) -> str:
+    """Compile native/shardio.cc -> libshardio.so (cached)."""
+    nd = _native_dir()
+    src = os.path.join(nd, "shardio.cc")
+    out = os.path.join(nd, "libshardio.so")
+    if force or (not os.path.exists(out)) or (
+            os.path.getmtime(out) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             src, "-o", out],
+            check=True)
+    return out
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(build_library())
+        lib.shardio_open.restype = ctypes.c_void_p
+        lib.shardio_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int]
+        lib.shardio_next.restype = ctypes.c_int64
+        lib.shardio_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.shardio_num_records.restype = ctypes.c_int64
+        lib.shardio_num_records.argtypes = [ctypes.c_void_p]
+        lib.shardio_close.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def record_bytes(spec: Spec) -> int:
+    total = 0
+    for _, shape, dtype in spec:
+        total += int(np.prod(shape)) * np.dtype(dtype).itemsize
+    return total
+
+
+def pack_record(spec: Spec, sample: Dict[str, np.ndarray]) -> bytes:
+    parts = []
+    for name, shape, dtype in spec:
+        arr = np.ascontiguousarray(sample[name], dtype=dtype)
+        if arr.shape != tuple(shape):
+            raise ValueError(f"{name}: {arr.shape} != {tuple(shape)}")
+        parts.append(arr.tobytes())
+    return b"".join(parts)
+
+
+def pack_shard(spec: Spec, samples, path: str) -> int:
+    """Write an iterable of sample dicts to one shard file; returns count."""
+    n = 0
+    with open(path, "wb") as f:
+        for s in samples:
+            f.write(pack_record(spec, s))
+            n += 1
+    return n
+
+
+def unpack_batch(spec: Spec, buf: np.ndarray, batch: int) -> Dict[str, np.ndarray]:
+    out = {}
+    offset = 0
+    rb = record_bytes(spec)
+    mat = buf.reshape(batch, rb)
+    for name, shape, dtype in spec:
+        nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        field = mat[:, offset:offset + nbytes]
+        out[name] = np.ascontiguousarray(field).view(dtype).reshape(
+            (batch,) + tuple(shape))
+        offset += nbytes
+    return out
+
+
+class ShardReader:
+    """Iterate batches from packed shards with native prefetch."""
+
+    def __init__(self, spec: Spec, paths: List[str], batch: int = 1,
+                 prefetch: int = 2, threads: int = 2, seed: int = 0,
+                 shuffle: bool = True, loop: bool = True):
+        self.spec = list(spec)
+        self.batch = batch
+        self.rb = record_bytes(spec)
+        lib = _lib()
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._h = lib.shardio_open(
+            arr, len(paths), self.rb, batch, prefetch, threads, seed,
+            int(shuffle), int(loop))
+        if not self._h:
+            raise IOError(f"shardio_open failed for {paths}")
+        self.num_records = int(lib.shardio_num_records(self._h))
+        self._buf = np.empty(self.rb * batch, np.uint8)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        idx = _lib().shardio_next(
+            self._h, self._buf.ctypes.data_as(ctypes.c_void_p))
+        if idx < 0:
+            raise StopIteration
+        return unpack_batch(self.spec, self._buf, self.batch)
+
+    def close(self):
+        if self._h:
+            _lib().shardio_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

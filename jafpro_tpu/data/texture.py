@@ -1,0 +1,139 @@
+"""DensePose texture atlas operations.
+
+Layout: the 24 SMPL parts tile a (4*part, 6*part) atlas; part p occupies
+tile (p // 6, p % 6) — matching the reference's ``TransferTexture``
+(``src/utils.py:369-395``) and the 4x6 slicing loops in the train scripts.
+
+``texture_warp`` is the fused TPU equivalent of ``texture_warp_pytorch``
+(``train/4.convLSTM_flowpro_interval.py:43-76``): instead of a Python loop
+over 24 parts x grid_sample each, all parts are sampled with one shared grid
+under vmap and the result selected by part id with one gather.
+
+``unwrap_texture`` is the NumPy data-prep equivalent of ``get_texture``
+(``src/utils.py:232-256``) used to build reference atlases from IUV maps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jafpro_tpu.ops.sampling import grid_sample
+
+
+def atlas_to_parts(atlas: jnp.ndarray, part_size: int = 200) -> jnp.ndarray:
+    """(B, 4*p, 6*p, C) -> (B, 24, p, p, C)."""
+    B, H, W, C = atlas.shape
+    rows, cols = H // part_size, W // part_size
+    x = atlas.reshape(B, rows, part_size, cols, part_size, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, rows * cols, part_size, part_size, C)
+
+
+def parts_to_atlas(parts: jnp.ndarray) -> jnp.ndarray:
+    """(B, 24, p, p, C) -> (B, 4*p, 6*p, C)."""
+    B, P, ph, pw, C = parts.shape
+    rows, cols = 4, P // 4
+    x = parts.reshape(B, rows, cols, ph, pw, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, rows * ph, cols * pw, C)
+
+
+@functools.partial(jax.jit, static_argnames=("num_parts",))
+def texture_warp(
+    parts: jnp.ndarray, iuv255: jnp.ndarray, num_parts: int = 24
+) -> jnp.ndarray:
+    """Warp texture parts into image space through an IUV map.
+
+    Args:
+      parts: (B, 24, p, p, 3) texture tiles (values in (-1, 1)).
+      iuv255: (B, S, S, 3) float; channel 0 = part index (0 = background,
+              1..24), channels 1, 2 = U, V in 0..255.
+    Returns: (B, S, S, 3); 0 outside the body.
+
+    Grid math matches the reference exactly: x = ((255-V)/255-0.5)*2 samples
+    the tile's width, y = (U/255-0.5)*2 samples its height, bilinear with
+    zero padding, align_corners=True.
+    """
+    pid = iuv255[..., 0]
+    u = iuv255[..., 1]
+    v = iuv255[..., 2]
+    gx = ((255.0 - v) / 255.0 - 0.5) * 2.0
+    gy = (u / 255.0 - 0.5) * 2.0
+    grid = jnp.stack([gx, gy], axis=-1)  # (B, S, S, 2)
+
+    # sample every part with the shared grid: vmap over the part axis
+    sampled = jax.vmap(
+        lambda tex: grid_sample(tex, grid, padding_mode="zeros"),
+        in_axes=1, out_axes=1,
+    )(parts)  # (B, P, S, S, 3)
+
+    idx = jnp.clip(pid.astype(jnp.int32) - 1, 0, num_parts - 1)
+    picked = jnp.take_along_axis(
+        sampled, idx[:, None, :, :, None], axis=1
+    )[:, 0]
+    return jnp.where((pid > 0)[..., None], picked, 0.0)
+
+
+def unwrap_texture(
+    image: np.ndarray, iuv255: np.ndarray, tex_size: int = 32,
+    part_size: int = 200,
+) -> np.ndarray:
+    """Image + IUV -> (24, part, part, 3) partial texture tiles (0..1, RGB).
+
+    NumPy data-prep path (host): nearest scatter at ``tex_size`` resolution,
+    then bilinear resize to ``part_size`` (reference ``get_texture``).
+    """
+    import cv2
+
+    sol = float(tex_size) - 1
+    U, V = iuv255[..., 1], iuv255[..., 2]
+    out = np.zeros((24, part_size, part_size, 3), np.float32)
+    for p in range(1, 25):
+        tile = np.zeros((tex_size, tex_size, 3), np.float64)
+        ys, xs = np.where(iuv255[..., 0] == p)
+        if len(ys):
+            ti = ((255 - V[ys, xs]) * sol / 255.0).astype(int)
+            tj = (U[ys, xs] * sol / 255.0).astype(int)
+            tile[ti, tj] = image[ys, xs]
+            resized = cv2.resize(tile, (part_size, part_size),
+                                 interpolation=cv2.INTER_LINEAR)
+            out[p - 1] = resized[:, :, ::-1] / 255.0
+        # else: empty tile stays zero
+    return out
+
+
+def iuv_to_part_masks(
+    iuv255: np.ndarray, tex_size: int = 32, part_size: int = 200
+) -> np.ndarray:
+    """Visibility mask of each part's texture tile: (24, part, part) {0,1}."""
+    import cv2
+
+    sol = float(tex_size) - 1
+    U, V = iuv255[..., 1], iuv255[..., 2]
+    out = np.zeros((24, part_size, part_size), np.float32)
+    for p in range(1, 25):
+        tile = np.zeros((tex_size, tex_size), np.float64)
+        ys, xs = np.where(iuv255[..., 0] == p)
+        if len(ys):
+            ti = ((255 - V[ys, xs]) * sol / 255.0).astype(int)
+            tj = (U[ys, xs] * sol / 255.0).astype(int)
+            tile[ti, tj] = 1.0
+            out[p - 1] = (
+                cv2.resize(tile, (part_size, part_size),
+                           interpolation=cv2.INTER_LINEAR) > 0
+            ).astype(np.float32)
+    return out
+
+
+def masks_to_atlas(part_masks: np.ndarray) -> np.ndarray:
+    """(24, p, p) -> (4p, 6p) atlas-layout mask."""
+    p = part_masks.shape[1]
+    out = np.zeros((4 * p, 6 * p), part_masks.dtype)
+    for i in range(24):
+        r, c = i // 6, i % 6
+        out[r * p:(r + 1) * p, c * p:(c + 1) * p] = part_masks[i]
+    return out

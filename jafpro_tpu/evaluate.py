@@ -1,0 +1,150 @@
+"""Video quality metrics (the ``test/video_evaluation.py`` equivalent).
+
+Per frame: SSIM (grayscale), L1, VGG perceptual distance, and FlowNetSD
+flow-consistency L1; per video: MS-SSIM and PSNR on the grayscale stack —
+the exact metric set the reference logs (``video_evaluation.py:184-246``).
+
+SSIM follows skimage's ``compare_ssim`` defaults used by the reference
+(7x7 uniform window, Bessel-corrected covariances, data_range of the dtype);
+MS-SSIM uses the standard 5-scale Wang et al. weights (skvideo-compatible).
+All metrics run as jnp ops so evaluation can be jitted on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def rgb_to_gray(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) RGB [0,1] -> (...) luma (ITU-R 601, skimage convention)."""
+    w = jnp.asarray([0.2125, 0.7154, 0.0721], x.dtype)
+    return jnp.tensordot(x, w, axes=1)
+
+
+def _uniform_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Valid-mode uniform filter over the trailing two axes of (B, H, W)."""
+    k = jnp.ones((size, size), x.dtype) / (size * size)
+    return jax.lax.conv_general_dilated(
+        x[:, None], k[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+
+
+def ssim(
+    a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
+    win_size: int = 7,
+) -> jnp.ndarray:
+    """Mean SSIM between grayscale images (B, H, W) -> (B,)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    NP = win_size ** 2
+    cov_norm = NP / (NP - 1)  # skimage sample covariance
+
+    ux = _uniform_filter(a, win_size)
+    uy = _uniform_filter(b, win_size)
+    uxx = _uniform_filter(a * a, win_size)
+    uyy = _uniform_filter(b * b, win_size)
+    uxy = _uniform_filter(a * b, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    s = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    # skimage crops (win_size-1)//2 from each side of the valid map — the
+    # valid conv already removed it
+    return jnp.mean(s, axis=(1, 2))
+
+
+def _ssim_components(a, b, data_range=1.0, win_size=7):
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    ux = _uniform_filter(a, win_size)
+    uy = _uniform_filter(b, win_size)
+    uxx = _uniform_filter(a * a, win_size) - ux * ux
+    uyy = _uniform_filter(b * b, win_size) - uy * uy
+    uxy = _uniform_filter(a * b, win_size) - ux * uy
+    l = (2 * ux * uy + C1) / (ux ** 2 + uy ** 2 + C1)
+    cs = (2 * uxy + C2) / (uxx + uyy + C2)
+    return jnp.mean(l, axis=(1, 2)), jnp.mean(cs, axis=(1, 2))
+
+
+def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Multi-scale SSIM on grayscale stacks (B, H, W) -> (B,)."""
+    weights = MSSSIM_WEIGHTS
+    mcs = []
+    lum = None
+    for i in range(len(weights)):
+        l, cs = _ssim_components(a, b, data_range)
+        mcs.append(jnp.maximum(cs, 0.0))
+        lum = jnp.maximum(l, 0.0)
+        if i < len(weights) - 1:
+            a = jax.lax.reduce_window(
+                a, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
+            b = jax.lax.reduce_window(
+                b, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
+    out = lum ** weights[-1]
+    for i, w in enumerate(weights[:-1]):
+        out = out * mcs[i] ** w
+    return out
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)),
+                   axis=tuple(range(1, a.ndim)))
+    return 10.0 * jnp.log10(data_range ** 2 / mse)
+
+
+def evaluate_video(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    vgg_apply=None,
+    vgg_params=None,
+    flow_apply=None,
+    flow_params=None,
+) -> Dict[str, float]:
+    """pred/gt: (T, H, W, 3) uint8 or [0,1] float RGB.  Returns the metric
+    dict the reference's evaluator logs per video."""
+    pred = np.asarray(pred, np.float32)
+    gt = np.asarray(gt, np.float32)
+    if pred.max() > 1.5:
+        pred, gt = pred / 255.0, gt / 255.0
+
+    p = jnp.asarray(pred)
+    g = jnp.asarray(gt)
+    pg, gg = rgb_to_gray(p), rgb_to_gray(g)
+
+    out = {
+        "ssim": float(jnp.mean(ssim(pg, gg))),
+        "l1": float(jnp.mean(jnp.abs(p - g))),
+        "ms_ssim": float(jnp.mean(ms_ssim(pg, gg))),
+        "psnr": float(jnp.mean(psnr(pg, gg))),
+    }
+
+    if vgg_apply is not None:
+        from jafpro_tpu.losses import CRN_VGG_WEIGHTS, vgg_feature_l1, vgg_preprocess
+
+        fx = vgg_apply(vgg_params, vgg_preprocess(p * 2 - 1))
+        fy = vgg_apply(vgg_params, vgg_preprocess(g * 2 - 1))
+        out["vgg"] = float(vgg_feature_l1(fx, fy, CRN_VGG_WEIGHTS))
+
+    if flow_apply is not None:
+        # flow-consistency: L1 between predicted-video flow and gt-video flow
+        # over consecutive frames (reference video_evaluation.py:199-202)
+        pairs_p = jnp.concatenate([p[:-1], p[1:]], axis=-1)
+        pairs_g = jnp.concatenate([g[:-1], g[1:]], axis=-1)
+        fp = flow_apply(flow_params, pairs_p)
+        fg_ = flow_apply(flow_params, pairs_g)
+        out["flow_l1"] = float(jnp.mean(jnp.abs(fp - fg_)))
+    return out

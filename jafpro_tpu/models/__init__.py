@@ -8,3 +8,5 @@ from jafpro_tpu.models.discriminators import (  # noqa: F401
     FaceDiscriminator,
 )
 from jafpro_tpu.models.vgg import VGG19Features  # noqa: F401
+from jafpro_tpu.models.flownet import FlowNetSD, FlowNetC  # noqa: F401
+from jafpro_tpu.models.hmr import HumanModelRecovery, ThetaRegressor  # noqa: F401

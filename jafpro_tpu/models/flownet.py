@@ -1,0 +1,255 @@
+"""FlowNet family, TPU-native.
+
+``FlowNetSD`` (reference ``src/flownet2_pytorch/networks/FlowNetSD.py``):
+the no-correlation optical-flow net JAFPro uses as a frozen flow-consistency
+metric (``test/video_evaluation.py:66, 199-202``).
+
+``FlowNetC`` (reference ``networks/FlowNetC.py``): the cost-volume variant —
+its CUDA correlation layer is replaced by ``jafpro_tpu.ops.correlation``.
+
+Both run in NHWC with eval-mode batch norm (running statistics), matching
+the frozen-metric usage.  ``load_torch_flownet_sd`` converts the published
+FlowNet2-SD checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from jafpro_tpu.ops.correlation import correlation
+
+
+class _ConvBlock(nn.Module):
+    """conv + BN + LeakyReLU(0.1) (reference ``submodules.py:conv``)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    norm: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad)] * 2, use_bias=not self.norm,
+                    dtype=self.dtype)(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        if self.act:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class _Deconv(nn.Module):
+    """ConvTranspose(k4, s2, p1) + LeakyReLU(0.1)."""
+
+    features: int
+    act: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                             padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
+        if self.act:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class _PredictFlow(nn.Module):
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype)(x)
+
+
+class FlowNetSD(nn.Module):
+    """Input: (B, H, W, 6) image pair in [0, 1]; returns flow2 (B, H/4, W/4, 2)
+    (eval mode), or the 5-scale pyramid when ``train_mode``."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, train_mode: bool = False):
+        C = lambda f, k=3, s=1, name=None: _ConvBlock(
+            f, k, s, dtype=self.dtype, name=name)
+
+        c0 = C(64, name="conv0")(x, train)
+        c1 = C(64, s=2, name="conv1")(c0, train)
+        c1 = C(128, name="conv1_1")(c1, train)
+        c2 = C(128, s=2, name="conv2")(c1, train)
+        c2 = C(128, name="conv2_1")(c2, train)
+        c3 = C(256, s=2, name="conv3")(c2, train)
+        c3 = C(256, name="conv3_1")(c3, train)
+        c4 = C(512, s=2, name="conv4")(c3, train)
+        c4 = C(512, name="conv4_1")(c4, train)
+        c5 = C(512, s=2, name="conv5")(c4, train)
+        c5 = C(512, name="conv5_1")(c5, train)
+        c6 = C(1024, s=2, name="conv6")(c5, train)
+        c6 = C(1024, name="conv6_1")(c6, train)
+
+        flow6 = _PredictFlow(name="predict_flow6")(c6)
+        flow6_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow6")(flow6)
+        d5 = _Deconv(512, name="deconv5")(c6)
+
+        cat5 = jnp.concatenate([c5, d5, flow6_up], -1)
+        i5 = _ConvBlock(512, act=False, name="inter_conv5")(cat5, train)
+        flow5 = _PredictFlow(name="predict_flow5")(i5)
+        flow5_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow5")(flow5)
+        d4 = _Deconv(256, name="deconv4")(cat5)
+
+        cat4 = jnp.concatenate([c4, d4, flow5_up], -1)
+        i4 = _ConvBlock(256, act=False, name="inter_conv4")(cat4, train)
+        flow4 = _PredictFlow(name="predict_flow4")(i4)
+        flow4_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow4")(flow4)
+        d3 = _Deconv(128, name="deconv3")(cat4)
+
+        cat3 = jnp.concatenate([c3, d3, flow4_up], -1)
+        i3 = _ConvBlock(128, act=False, name="inter_conv3")(cat3, train)
+        flow3 = _PredictFlow(name="predict_flow3")(i3)
+        flow3_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow3")(flow3)
+        d2 = _Deconv(64, name="deconv2")(cat3)
+
+        cat2 = jnp.concatenate([c2, d2, flow3_up], -1)
+        i2 = _ConvBlock(64, act=False, name="inter_conv2")(cat2, train)
+        flow2 = _PredictFlow(name="predict_flow2")(i2)
+
+        if train_mode:
+            return flow2, flow3, flow4, flow5, flow6
+        return flow2
+
+
+class FlowNetC(nn.Module):
+    """Correlation-based FlowNet (reference ``networks/FlowNetC.py``):
+    siamese 3-level encoders, a 441-channel cost volume at 1/8 resolution
+    (our XLA correlation kernel), then the FlowNetS-style decoder."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False, train_mode: bool = False):
+        C = lambda f, k=3, s=1, name=None: _ConvBlock(
+            f, k, s, dtype=self.dtype, name=name)
+
+        def encode(x, suffix):
+            a = C(64, k=7, s=2, name=f"conv1{suffix}")(x, train)
+            b = C(128, k=5, s=2, name=f"conv2{suffix}")(a, train)
+            c = C(256, k=5, s=2, name=f"conv3{suffix}")(b, train)
+            return a, b, c
+
+        a1, b1, c1 = encode(x1, "a")
+        _, _, c2 = encode(x2, "b")
+
+        corr = nn.leaky_relu(
+            correlation(c1, c2, max_displacement=20, stride2=2), 0.1)
+        redir = C(32, k=1, name="conv_redir")(c1, train)
+        x = jnp.concatenate([redir, corr], -1)
+
+        x = C(256, name="conv3_1")(x, train)
+        c4 = C(512, s=2, name="conv4")(x, train)
+        c4 = C(512, name="conv4_1")(c4, train)
+        c5 = C(512, s=2, name="conv5")(c4, train)
+        c5 = C(512, name="conv5_1")(c5, train)
+        c6 = C(1024, s=2, name="conv6")(c5, train)
+        c6 = C(1024, name="conv6_1")(c6, train)
+
+        flow6 = _PredictFlow(name="predict_flow6")(c6)
+        flow6_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow6")(flow6)
+        d5 = _Deconv(512, name="deconv5")(c6)
+        cat5 = jnp.concatenate([c5, d5, flow6_up], -1)
+
+        flow5 = _PredictFlow(name="predict_flow5")(cat5)
+        flow5_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow5")(flow5)
+        d4 = _Deconv(256, name="deconv4")(cat5)
+        cat4 = jnp.concatenate([c4, d4, flow5_up], -1)
+
+        flow4 = _PredictFlow(name="predict_flow4")(cat4)
+        flow4_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow4")(flow4)
+        d3 = _Deconv(128, name="deconv3")(cat4)
+        cat3 = jnp.concatenate([x, d3, flow4_up], -1)
+
+        flow3 = _PredictFlow(name="predict_flow3")(cat3)
+        flow3_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name="up_flow3")(flow3)
+        d2 = _Deconv(64, name="deconv2")(cat3)
+        cat2 = jnp.concatenate([b1, d2, flow3_up], -1)
+
+        flow2 = _PredictFlow(name="predict_flow2")(cat2)
+        if train_mode:
+            return flow2, flow3, flow4, flow5, flow6
+        return flow2
+
+
+def load_torch_flownet_sd(path: str) -> dict:
+    """Convert the published FlowNet2-SD torch checkpoint to this module's
+    variables ({'params': ..., 'batch_stats': ...})."""
+    import numpy as np
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, keys, val):
+        for k in keys[:-1]:
+            tree = tree.setdefault(k, {})
+        tree[keys[-1]] = jnp.asarray(val)
+
+    name_map = {
+        "upsampled_flow6_to_5": "up_flow6",
+        "upsampled_flow5_to_4": "up_flow5",
+        "upsampled_flow4_to_3": "up_flow4",
+        "upsampled_flow3_to_2": "up_flow3",
+    }
+    for key, val in sd.items():
+        v = val.numpy()
+        parts = key.split(".")
+        mod = name_map.get(parts[0], parts[0])
+        leaf = parts[-1]
+        idx = parts[1] if len(parts) == 3 else None
+        is_deconv = mod.startswith(("deconv", "up_flow"))
+        if leaf == "weight" and v.ndim == 4:
+            if is_deconv:
+                # torch ConvTranspose OIHW (in,out,h,w) -> flax (h,w,out,in)
+                # with spatially flipped taps
+                w = np.flip(v, (2, 3)).transpose(2, 3, 1, 0)
+            else:
+                w = v.transpose(2, 3, 1, 0)
+            sub = ("Conv_0",) if idx == "0" and not is_deconv else ()
+            put(params, (mod, "kernel") if not sub else (mod, *sub, "kernel"), w)
+        elif leaf == "weight" and v.ndim == 1:  # BN gamma
+            put(params, (mod, "BatchNorm_0", "scale"), v)
+        elif leaf == "bias" and v.ndim == 1 and idx == "1":
+            put(params, (mod, "BatchNorm_0", "bias"), v)
+        elif leaf == "bias":
+            put(params, (mod, "bias"), v)
+        elif leaf == "running_mean":
+            put(stats, (mod, "BatchNorm_0", "mean"), v)
+        elif leaf == "running_var":
+            put(stats, (mod, "BatchNorm_0", "var"), v)
+    return {"params": params, "batch_stats": stats}

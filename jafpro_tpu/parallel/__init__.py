@@ -1,0 +1,6 @@
+from jafpro_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_jit,
+)

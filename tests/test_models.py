@@ -1,0 +1,157 @@
+"""Shape-contract and behavior tests for the Flax modules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jafpro_tpu.models import (
+    AccumulateLSTM,
+    ConvLSTM,
+    CRNSmaller,
+    FaceDiscriminator,
+    ImageDiscriminator,
+    Propagation3DFlowNet,
+    UNetInpainter,
+    VGG19Features,
+)
+from jafpro_tpu.data.texture import atlas_to_parts, parts_to_atlas, texture_warp
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_conv_lstm_shapes_and_mask():
+    m = ConvLSTM(hidden_dim=8)
+    xs = jax.random.normal(KEY, (2, 4, 8, 8, 3))
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.float32)
+    params = m.init(KEY, xs, mask)
+    ys, (h, c) = m.apply(params, xs, mask)
+    assert ys.shape == (2, 4, 8, 8, 8) and h.shape == (2, 8, 8, 8)
+    # masked-out steps freeze the state: batch 0 final == step-2 output
+    np.testing.assert_allclose(np.asarray(ys[0, 1]), np.asarray(h[0]), atol=1e-6)
+    # a fully-masked suffix never equals the unmasked run (sanity)
+    ys_full, (h_full, _) = m.apply(params, xs, jnp.ones_like(mask))
+    assert not np.allclose(np.asarray(h_full[0]), np.asarray(h[0]))
+
+
+def test_accumulate_shapes():
+    # tiny geometry: part=32 keeps the test fast; parts=6 instead of 24
+    m = AccumulateLSTM()
+    parts = jax.random.normal(KEY, (1, 3, 6, 32, 32, 3))
+    mask = jnp.ones((1, 3))
+    params = m.init(KEY, parts, mask)
+    out = m.apply(params, parts, mask)
+    assert out.shape == (1, 6, 32, 32, 3)
+    # per-part parameters are independent (stacked axis 0)
+    tree = jax.tree_util.tree_leaves(params)
+    assert all(l.shape[0] == 6 for l in tree)
+
+
+def test_inpainter_shapes_and_global_code():
+    m = UNetInpainter()
+    parts = jax.random.normal(KEY, (1, 6, 32, 32, 3))
+    params = m.init(KEY, parts)
+    out = m.apply(params, parts)
+    assert out.shape == (1, 6, 32, 32, 3)
+    # the global bottleneck makes part 0's output depend on part 5's input
+    parts2 = parts.at[:, 5].add(10.0)
+    out2 = m.apply(params, parts2)
+    assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]))
+
+
+def test_crn_smaller():
+    m = CRNSmaller(fg=True)
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    params = m.init(KEY, x, 64)
+    out, mask = m.apply(params, x, 64)
+    assert out.shape == (1, 64, 64, 3) and mask.shape == (1, 64, 64, 1)
+    assert (np.asarray(mask) >= 0).all() and (np.asarray(mask) <= 1).all()
+
+    m_bg = CRNSmaller(fg=False)
+    params = m_bg.init(KEY, x, 64)
+    out = m_bg.apply(params, x, 64)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_propagation():
+    m = Propagation3DFlowNet()
+    fake = jax.random.normal(KEY, (2, 64, 64, 3))
+    tsf = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    iuv = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    mask = jnp.ones((2, 64, 64, 1))
+    params = m.init(KEY, fake, tsf, iuv, mask)
+    out = m.apply(params, fake, tsf, iuv, mask)
+    w = np.asarray(out["weight"])
+    assert out["pred_target"].shape == (2, 64, 64, 3)
+    assert (w >= 0).all() and (w <= 1).all()
+    # blend identity: pred == fake*w + tsf*(1-w)
+    expect = np.asarray(fake) * w + np.asarray(tsf) * (1 - w)
+    np.testing.assert_allclose(np.asarray(out["pred_target"]), expect, atol=1e-5)
+
+
+def test_discriminators():
+    d = ImageDiscriminator(ndf=8)
+    x = jax.random.normal(KEY, (2, 256, 256, 6))
+    params = d.init(KEY, x)
+    out = d.apply(params, x)
+    assert out.shape == (2, 1)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+    f = FaceDiscriminator(ndf=8)
+    x = jax.random.normal(KEY, (2, 64, 64, 6))
+    params = f.init(KEY, x)
+    assert f.apply(params, x).shape == (2, 1)
+
+
+def test_vgg_features():
+    m = VGG19Features()
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    params = m.init(KEY, x)
+    feats = m.apply(params, x)
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]
+    assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
+
+
+def test_atlas_part_roundtrip():
+    atlas = jax.random.normal(KEY, (2, 4 * 16, 6 * 16, 3))
+    parts = atlas_to_parts(atlas, 16)
+    assert parts.shape == (2, 24, 16, 16, 3)
+    back = parts_to_atlas(parts)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(atlas))
+    # tile (r, c) is part r*6+c
+    np.testing.assert_allclose(
+        np.asarray(parts[0, 7]), np.asarray(atlas[0, 16:32, 16:32])
+    )
+
+
+def test_texture_warp_matches_reference_loop():
+    """Compare the fused warp against a literal torch transcription of
+    texture_warp_pytorch (train/4:43-76)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(7)
+    S, P = 32, 24
+    parts = rng.randn(1, P, 16, 16, 3).astype(np.float32)
+    iuv = np.zeros((1, S, S, 3), np.float32)
+    iuv[..., 0] = rng.randint(0, 25, size=(1, S, S))
+    iuv[..., 1] = rng.randint(0, 256, size=(1, S, S))
+    iuv[..., 2] = rng.randint(0, 256, size=(1, S, S))
+
+    ours = np.asarray(texture_warp(jnp.asarray(parts), jnp.asarray(iuv)))
+
+    IUV = torch.from_numpy(iuv[0])
+    U, V = IUV[:, :, 1], IUV[:, :, 2]
+    gen = torch.zeros((1, 3, S, S))
+    for pid in range(1, 25):
+        sel = IUV[:, :, 0] == pid
+        u = torch.where(sel, U, torch.zeros_like(U))
+        v = torch.where(sel, V, torch.zeros_like(V))
+        x = ((255 - v) / 255.0 - 0.5) * 2
+        y = (u / 255.0 - 0.5) * 2
+        grid = torch.stack([x, y], dim=2)[None]
+        tex = torch.from_numpy(parts[0, pid - 1]).permute(2, 0, 1)[None]
+        samp = F.grid_sample(tex, grid, mode="bilinear", align_corners=True)
+        gen = torch.where(sel, samp, gen)
+    ref = gen[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours[0], ref, atol=1e-5)
