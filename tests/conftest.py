@@ -1,15 +1,17 @@
-"""Test config: force CPU with a virtual 8-device mesh for sharding tests."""
+"""Test config: host-CPU JAX with a virtual 8-device mesh.
+
+Environment sanitization (stripping the remote-accelerator plugin and
+forcing CPU) happens in ``jafpro_test_sanitize`` — an early ``-p`` plugin
+wired through pytest.ini that re-execs before capture starts.
+"""
 
 import os
 
-# The outer environment may point JAX at the (single, exclusive) TPU tunnel;
-# tests must run on host CPU with a virtual multi-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
