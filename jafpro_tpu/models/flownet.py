@@ -30,14 +30,16 @@ class _ConvBlock(nn.Module):
     stride: int = 1
     act: bool = True
     norm: bool = True
+    bias: Optional[bool] = None  # default: no bias when normed (torch `conv`)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
+        use_bias = self.bias if self.bias is not None else not self.norm
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
-                    padding=[(pad, pad)] * 2, use_bias=not self.norm,
+                    padding=[(pad, pad)] * 2, use_bias=use_bias,
                     dtype=self.dtype)(x)
         if self.norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
@@ -55,8 +57,11 @@ class _Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch ConvTranspose2d(k=4, s=2, p=1) == flax 'SAME' (out = 2*in,
+        # one row/col trimmed from each side) — verified by the torch parity
+        # test in tests/test_flownet_parity.py
         x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                             padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
+                             padding="SAME", dtype=self.dtype)(x)
         if self.act:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -98,36 +103,36 @@ class FlowNetSD(nn.Module):
 
         flow6 = _PredictFlow(name="predict_flow6")(c6)
         flow6_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow6")(flow6)
         d5 = _Deconv(512, name="deconv5")(c6)
 
         cat5 = jnp.concatenate([c5, d5, flow6_up], -1)
-        i5 = _ConvBlock(512, act=False, name="inter_conv5")(cat5, train)
+        i5 = _ConvBlock(512, act=False, bias=True, name="inter_conv5")(cat5, train)
         flow5 = _PredictFlow(name="predict_flow5")(i5)
         flow5_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow5")(flow5)
         d4 = _Deconv(256, name="deconv4")(cat5)
 
         cat4 = jnp.concatenate([c4, d4, flow5_up], -1)
-        i4 = _ConvBlock(256, act=False, name="inter_conv4")(cat4, train)
+        i4 = _ConvBlock(256, act=False, bias=True, name="inter_conv4")(cat4, train)
         flow4 = _PredictFlow(name="predict_flow4")(i4)
         flow4_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow4")(flow4)
         d3 = _Deconv(128, name="deconv3")(cat4)
 
         cat3 = jnp.concatenate([c3, d3, flow4_up], -1)
-        i3 = _ConvBlock(128, act=False, name="inter_conv3")(cat3, train)
+        i3 = _ConvBlock(128, act=False, bias=True, name="inter_conv3")(cat3, train)
         flow3 = _PredictFlow(name="predict_flow3")(i3)
         flow3_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow3")(flow3)
         d2 = _Deconv(64, name="deconv2")(cat3)
 
         cat2 = jnp.concatenate([c2, d2, flow3_up], -1)
-        i2 = _ConvBlock(64, act=False, name="inter_conv2")(cat2, train)
+        i2 = _ConvBlock(64, act=False, bias=True, name="inter_conv2")(cat2, train)
         flow2 = _PredictFlow(name="predict_flow2")(i2)
 
         if train_mode:
@@ -171,28 +176,28 @@ class FlowNetC(nn.Module):
 
         flow6 = _PredictFlow(name="predict_flow6")(c6)
         flow6_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow6")(flow6)
         d5 = _Deconv(512, name="deconv5")(c6)
         cat5 = jnp.concatenate([c5, d5, flow6_up], -1)
 
         flow5 = _PredictFlow(name="predict_flow5")(cat5)
         flow5_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow5")(flow5)
         d4 = _Deconv(256, name="deconv4")(cat5)
         cat4 = jnp.concatenate([c4, d4, flow5_up], -1)
 
         flow4 = _PredictFlow(name="predict_flow4")(cat4)
         flow4_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow4")(flow4)
         d3 = _Deconv(128, name="deconv3")(cat4)
         cat3 = jnp.concatenate([x, d3, flow4_up], -1)
 
         flow3 = _PredictFlow(name="predict_flow3")(cat3)
         flow3_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
-                                    padding=[(1, 1), (1, 1)],
+                                    padding="SAME",
                                     name="up_flow3")(flow3)
         d2 = _Deconv(64, name="deconv2")(cat3)
         cat2 = jnp.concatenate([b1, d2, flow3_up], -1)
@@ -204,52 +209,73 @@ class FlowNetC(nn.Module):
 
 
 def load_torch_flownet_sd(path: str) -> dict:
-    """Convert the published FlowNet2-SD torch checkpoint to this module's
-    variables ({'params': ..., 'batch_stats': ...})."""
+    """Convert the published FlowNet2-SD torch checkpoint (or any state_dict
+    of the reference FlowNetSD) to this module's variables
+    ({'params': ..., 'batch_stats': ...}).  Validated against the torch
+    implementation in tests/test_flownet_parity.py."""
     import numpy as np
     import torch
 
-    ckpt = torch.load(path, map_location="cpu")
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
 
     params: dict = {}
     stats: dict = {}
 
     def put(tree, keys, val):
+        node = tree
         for k in keys[:-1]:
-            tree = tree.setdefault(k, {})
-        tree[keys[-1]] = jnp.asarray(val)
+            node = node.setdefault(k, {})
+        node[keys[-1]] = jnp.asarray(val)
 
-    name_map = {
+    def conv_w(w):  # OIHW -> HWIO
+        return w.transpose(2, 3, 1, 0)
+
+    def deconv_w(w):  # torch (in, out, kh, kw) -> flax (kh, kw, in, out),
+        # spatially flipped (conv_transpose vs gradient-of-conv convention)
+        return np.flip(w, (2, 3)).transpose(2, 3, 0, 1).copy()
+
+    up_map = {
         "upsampled_flow6_to_5": "up_flow6",
         "upsampled_flow5_to_4": "up_flow5",
         "upsampled_flow4_to_3": "up_flow4",
         "upsampled_flow3_to_2": "up_flow3",
     }
-    for key, val in sd.items():
-        v = val.numpy()
+    for key in sd:
+        v = sd[key]
         parts = key.split(".")
-        mod = name_map.get(parts[0], parts[0])
-        leaf = parts[-1]
-        idx = parts[1] if len(parts) == 3 else None
-        is_deconv = mod.startswith(("deconv", "up_flow"))
-        if leaf == "weight" and v.ndim == 4:
-            if is_deconv:
-                # torch ConvTranspose OIHW (in,out,h,w) -> flax (h,w,out,in)
-                # with spatially flipped taps
-                w = np.flip(v, (2, 3)).transpose(2, 3, 1, 0)
+        mod = parts[0]
+        if mod in up_map:  # bare ConvTranspose
+            name = up_map[mod]
+            if parts[-1] == "weight":
+                put(params, (name, "kernel"), deconv_w(v))
             else:
-                w = v.transpose(2, 3, 1, 0)
-            sub = ("Conv_0",) if idx == "0" and not is_deconv else ()
-            put(params, (mod, "kernel") if not sub else (mod, *sub, "kernel"), w)
-        elif leaf == "weight" and v.ndim == 1:  # BN gamma
-            put(params, (mod, "BatchNorm_0", "scale"), v)
-        elif leaf == "bias" and v.ndim == 1 and idx == "1":
-            put(params, (mod, "BatchNorm_0", "bias"), v)
-        elif leaf == "bias":
-            put(params, (mod, "bias"), v)
-        elif leaf == "running_mean":
-            put(stats, (mod, "BatchNorm_0", "mean"), v)
-        elif leaf == "running_var":
-            put(stats, (mod, "BatchNorm_0", "var"), v)
+                put(params, (name, "bias"), v)
+        elif mod.startswith("predict_flow"):  # bare Conv
+            if parts[-1] == "weight":
+                put(params, (mod, "Conv_0", "kernel"), conv_w(v))
+            else:
+                put(params, (mod, "Conv_0", "bias"), v)
+        elif mod.startswith("deconv"):  # Sequential(ConvTranspose, LeakyReLU)
+            if parts[-1] == "weight":
+                put(params, (mod, "ConvTranspose_0", "kernel"), deconv_w(v))
+            else:
+                put(params, (mod, "ConvTranspose_0", "bias"), v)
+        else:  # conv blocks: .0 = conv, .1 = batchnorm
+            idx, leaf = parts[1], parts[2]
+            if idx == "0":
+                if leaf == "weight":
+                    put(params, (mod, "Conv_0", "kernel"), conv_w(v))
+                else:
+                    put(params, (mod, "Conv_0", "bias"), v)
+            else:
+                if leaf == "weight":
+                    put(params, (mod, "BatchNorm_0", "scale"), v)
+                elif leaf == "bias":
+                    put(params, (mod, "BatchNorm_0", "bias"), v)
+                elif leaf == "running_mean":
+                    put(stats, (mod, "BatchNorm_0", "mean"), v)
+                elif leaf == "running_var":
+                    put(stats, (mod, "BatchNorm_0", "var"), v)
     return {"params": params, "batch_stats": stats}

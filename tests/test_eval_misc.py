@@ -1,0 +1,153 @@
+"""Metrics, checkpoints, angle selection, losses, VGG converter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jafpro_tpu.evaluate import evaluate_video, ms_ssim, psnr, rgb_to_gray, ssim
+from jafpro_tpu.checkpoints import latest_step, restore_checkpoint, save_checkpoint
+from jafpro_tpu.data.angles import compute_angle, select_reference_frames
+from jafpro_tpu import losses
+
+RNG = np.random.RandomState(0)
+
+
+def test_ssim_identity_and_noise():
+    a = jnp.asarray(RNG.rand(2, 64, 64).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-5)
+    noisy = a + 0.3 * jnp.asarray(RNG.randn(2, 64, 64).astype(np.float32))
+    s = np.asarray(ssim(a, jnp.clip(noisy, 0, 1)))
+    assert (s < 0.9).all() and (s > -1.0).all()
+
+
+def test_ssim_matches_reference_formula():
+    """Cross-check against a literal scipy-based implementation of
+    skimage's compare_ssim defaults."""
+    from scipy.ndimage import uniform_filter
+
+    a = RNG.rand(32, 32).astype(np.float64)
+    b = np.clip(a + 0.1 * RNG.randn(32, 32), 0, 1)
+    win, dr = 7, 1.0
+    NP = win ** 2
+    cov_norm = NP / (NP - 1)
+    ux, uy = uniform_filter(a, win), uniform_filter(b, win)
+    uxx = uniform_filter(a * a, win)
+    uyy = uniform_filter(b * b, win)
+    uxy = uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1, C2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    pad = (win - 1) // 2
+    expect = S[pad:-pad, pad:-pad].mean()
+    ours = float(ssim(jnp.asarray(a[None]), jnp.asarray(b[None]))[0])
+    np.testing.assert_allclose(ours, expect, atol=1e-5)
+
+
+def test_psnr_and_msssim():
+    a = jnp.asarray(RNG.rand(1, 128, 128).astype(np.float32))
+    assert float(psnr(a, a)[0]) > 80
+    m = float(ms_ssim(a, a)[0])
+    np.testing.assert_allclose(m, 1.0, atol=1e-4)
+    b = jnp.clip(a + 0.2 * jnp.asarray(
+        RNG.randn(1, 128, 128).astype(np.float32)), 0, 1)
+    assert float(ms_ssim(a, b)[0]) < 0.99
+
+
+def test_evaluate_video():
+    pred = RNG.rand(4, 128, 128, 3).astype(np.float32)
+    gt = np.clip(pred + 0.05 * RNG.randn(*pred.shape), 0, 1).astype(np.float32)
+    m = evaluate_video(pred, gt)
+    assert set(m) == {"ssim", "l1", "ms_ssim", "psnr"}
+    assert 0 < m["ssim"] < 1 and m["psnr"] > 10 and 0 < m["l1"] < 0.1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"accu": {"w": jnp.asarray(RNG.randn(3, 4), jnp.float32)},
+                   "bg": {"b": jnp.asarray(RNG.randn(5), jnp.float32)}},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    path = save_checkpoint(str(tmp_path), 100, state)
+    assert latest_step(str(tmp_path)) == 100
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint(str(tmp_path), 100, zeros)
+    np.testing.assert_allclose(np.asarray(restored["params"]["accu"]["w"]),
+                               np.asarray(state["params"]["accu"]["w"]))
+    assert int(restored["step"]) == 7
+
+
+def test_compute_angle_front_back():
+    iuv = np.zeros((64, 64, 3), np.float32)
+    iuv[10:50, 10:50, 0] = 2  # all frontal torso
+    a = compute_angle(iuv)
+    assert -90 <= a <= 90
+    iuv2 = np.zeros((64, 64, 3), np.float32)
+    iuv2[10:50, 10:50, 0] = 1  # all back torso
+    a2 = compute_angle(iuv2)
+    assert abs(a2) > abs(a)  # back view is far from frontal
+
+
+def test_select_reference_frames():
+    angles = np.linspace(-80, 80, 30)
+    for n in (1, 2, 3, 4, 5):
+        idx = select_reference_frames(angles, n)
+        assert len(idx) == n and len(set(idx.tolist())) == n
+    idx4 = select_reference_frames(angles, 4)
+    assert 29 in idx4 and 0 in idx4  # extremes always covered
+
+
+def test_losses():
+    x = jnp.asarray(RNG.rand(2, 8, 8, 3).astype(np.float32)) * 2 - 1
+    y = jnp.asarray(RNG.rand(2, 8, 8, 3).astype(np.float32)) * 2 - 1
+    assert float(losses.l1(x, x)) == 0.0
+    p = losses.vgg_preprocess(x)
+    assert float(jnp.max(p)) <= 255.0 and float(jnp.min(p)) >= -130.0
+    b = losses.bce(jnp.asarray([[0.9], [0.1]]), jnp.asarray([[1.0], [0.0]]))
+    assert 0 < float(b) < 0.2
+    # masked atlas L1: zero where masks exclude everything
+    pred = jnp.asarray(RNG.rand(1, 8, 8, 3), jnp.float32)
+    tgt = jnp.asarray(RNG.rand(1, 8, 8, 3), jnp.float32)
+    src_m = jnp.zeros((1, 2, 8, 8))
+    tgt_m = jnp.ones((1, 1, 8, 8))
+    assert float(losses.masked_atlas_l1(pred, tgt, src_m, tgt_m)) == 0.0
+
+
+def test_vgg_torch_converter(tmp_path):
+    """Converter maps a synthetic torchvision-style state_dict and the
+    module reproduces a manual torch conv on the first layer."""
+    import torch
+
+    from jafpro_tpu.models.vgg import VGG19Features, load_torch_vgg19, _BLOCKS
+
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    widths = [w for ws in _BLOCKS for w in ws]
+    sd = {}
+    c_in = 3
+    torch.manual_seed(0)
+    for idx, w in zip(conv_idx, widths):
+        sd[f"features.{idx}.weight"] = torch.randn(w, c_in, 3, 3) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn(w) * 0.05
+        c_in = w
+    path = tmp_path / "vgg.pth"
+    torch.save(sd, path)
+
+    variables = load_torch_vgg19(str(path))
+    m = VGG19Features()
+    x = RNG.rand(1, 16, 16, 3).astype(np.float32)
+    feats = m.apply(variables, jnp.asarray(x))
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]
+
+    # first feature map (conv1_2 pre-ReLU) vs torch
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        h = torch.nn.functional.conv2d(
+            t, sd["features.0.weight"], sd["features.0.bias"], padding=1)
+        h = torch.relu(h)
+        h = torch.nn.functional.conv2d(
+            h, sd["features.2.weight"], sd["features.2.bias"], padding=1)
+    np.testing.assert_allclose(
+        np.asarray(feats[0]), h.numpy().transpose(0, 2, 3, 1), atol=1e-4)
