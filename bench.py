@@ -70,15 +70,32 @@ def main():
     }
 
     gen = VideoGenerator(pipe)
-    out = gen(params, clip)  # compile + warm
-    jax.block_until_ready(out["final"])
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = gen(params, clip)
-    jax.block_until_ready(out["final"])
-    dt = (time.perf_counter() - t0) / n_iters
+    # Chain iterations through a data dependency and time to a full host
+    # fetch: on remote-tunnel runtimes block_until_ready can return early,
+    # so only the (t_chained - t_single) delta measures device time.
+    chain = jax.jit(lambda c, final: dict(
+        c, bg_incomplete=c["bg_incomplete"] + 1e-12 * jnp.mean(final)))
+
+    out = gen(params, clip)            # compile + warm
+    clip2 = chain(clip, out["final"])  # compile chain helper
+    out = gen(params, clip2)
+    np.asarray(out["final"])
+
+    def run(n):
+        t0 = time.perf_counter()
+        c = clip
+        o = gen(params, c)
+        for _ in range(n - 1):
+            c = chain(c, o["final"])
+            o = gen(params, c)
+        np.asarray(o["final"])
+        return time.perf_counter() - t0
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
+    t1 = run(1)
+    tn = run(1 + n_iters)
+    dt = max((tn - t1) / n_iters, 1e-9)
 
     fps = T / dt
     baseline = None

@@ -66,6 +66,7 @@ class SMPLFlowEngine:
     far: float = 25.0
     viewing_angle: float = 30.0
     chunk: int = 512
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     @classmethod
     def create(
@@ -80,6 +81,15 @@ class SMPLFlowEngine:
             faces = np.load(path).astype(np.int32)
         return cls(faces=np.asarray(faces, np.int32), image_size=image_size, **kw)
 
+    def _use_pallas(self) -> bool:
+        if self.backend == "pallas":
+            return True
+        if self.backend == "xla":
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def render_fim_wim(self, cam: jnp.ndarray, vertices: jnp.ndarray):
         """cam: (B, 3), vertices: (B, V, 3) ->
         (f2verts (B,F,3,3) view-space, fim (B,S,S), wim (B,S,S,3)).
@@ -87,10 +97,20 @@ class SMPLFlowEngine:
         """
         view_verts = project_to_view(vertices, cam, self.viewing_angle)
         fv = vertices_to_faces(view_verts, jnp.asarray(self.faces))
-        fim, wim = rasterize_fim_wim(
-            fv, image_size=self.image_size, near=self.near,
-            far=self.far, chunk=self.chunk,
-        )
+        if self._use_pallas():
+            from jafpro_tpu.geometry.rasterizer_pallas import (
+                rasterize_fim_wim_pallas)
+
+            # smaller face blocks than the XLA path: every (pixels x block)
+            # temporary lives in VMEM
+            fim, wim = rasterize_fim_wim_pallas(
+                fv, image_size=self.image_size, near=self.near,
+                far=self.far, block=min(self.chunk, 256))
+        else:
+            fim, wim = rasterize_fim_wim(
+                fv, image_size=self.image_size, near=self.near,
+                far=self.far, chunk=self.chunk,
+            )
         return fv, fim, wim
 
     def cal_flow(

@@ -159,11 +159,13 @@ def _rasterize_single(
 
     fim = jnp.where(found, idx_min, -1).reshape(S, S)
     wim = w.reshape(S, S, 3)
-    return fim, wim
+    dim = jnp.where(found, depth_min, 0.0).reshape(S, S)
+    return fim, wim, dim
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y")
+    jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y",
+                              "return_depth")
 )
 def rasterize_fim_wim(
     face_verts: jnp.ndarray,
@@ -172,10 +174,11 @@ def rasterize_fim_wim(
     far: float = 25.0,
     chunk: int = 512,
     flip_y: bool = True,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_depth: bool = False,
+):
     """Rasterize (B, F, 3, 3) view-space triangles into per-pixel
     (face_index_map (B, S, S) int32 [-1 = background],
-     weight_map (B, S, S, 3) float).
+     weight_map (B, S, S, 3) float [, depth_map (B, S, S)]).
 
     Equivalent of reference ``nr.rasterize_face_index_map_and_weight_map``
     (``neural_renderer/rasterize.py:543-571``), including the python
@@ -186,8 +189,11 @@ def rasterize_fim_wim(
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far, chunk=chunk
     )
-    fim, wim = jax.vmap(fn)(face_verts)
+    fim, wim, dim = jax.vmap(fn)(face_verts)
     if flip_y:
         fim = fim[:, ::-1]
         wim = wim[:, ::-1]
+        dim = dim[:, ::-1]
+    if return_depth:
+        return fim, wim, dim
     return fim, wim
