@@ -279,3 +279,180 @@ def load_torch_flownet_sd(path: str) -> dict:
                 elif leaf == "running_var":
                     put(stats, (mod, "BatchNorm_0", "var"), v)
     return {"params": params, "batch_stats": stats}
+
+
+class FlowNetS(nn.Module):
+    """Simple encoder-decoder FlowNet (reference ``networks/FlowNetS.py``):
+    6-level encoder on a 12-channel stacked input, decoder predicting flow
+    directly from the concats (no inter convs)."""
+
+    input_channels: int = 12
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, train_mode: bool = False):
+        C = lambda f, k=3, s=1, name=None: _ConvBlock(
+            f, k, s, dtype=self.dtype, name=name)
+
+        c1 = C(64, k=7, s=2, name="conv1")(x, train)
+        c2 = C(128, k=5, s=2, name="conv2")(c1, train)
+        c3 = C(256, k=5, s=2, name="conv3")(c2, train)
+        c3 = C(256, name="conv3_1")(c3, train)
+        c4 = C(512, s=2, name="conv4")(c3, train)
+        c4 = C(512, name="conv4_1")(c4, train)
+        c5 = C(512, s=2, name="conv5")(c4, train)
+        c5 = C(512, name="conv5_1")(c5, train)
+        c6 = C(1024, s=2, name="conv6")(c5, train)
+        c6 = C(1024, name="conv6_1")(c6, train)
+
+        def up(name):
+            return nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding="SAME", use_bias=False, name=name)
+
+        flow6 = _PredictFlow(name="predict_flow6")(c6)
+        cat5 = jnp.concatenate(
+            [c5, _Deconv(512, name="deconv5")(c6), up("up_flow6")(flow6)], -1)
+        flow5 = _PredictFlow(name="predict_flow5")(cat5)
+        cat4 = jnp.concatenate(
+            [c4, _Deconv(256, name="deconv4")(cat5), up("up_flow5")(flow5)], -1)
+        flow4 = _PredictFlow(name="predict_flow4")(cat4)
+        cat3 = jnp.concatenate(
+            [c3, _Deconv(128, name="deconv3")(cat4), up("up_flow4")(flow4)], -1)
+        flow3 = _PredictFlow(name="predict_flow3")(cat3)
+        cat2 = jnp.concatenate(
+            [c2, _Deconv(64, name="deconv2")(cat3), up("up_flow3")(flow3)], -1)
+        flow2 = _PredictFlow(name="predict_flow2")(cat2)
+
+        if train_mode:
+            return flow2, flow3, flow4, flow5, flow6
+        return flow2
+
+
+class FlowNetFusion(nn.Module):
+    """Shallow fusion net over the 11-channel stack of both branch outputs
+    (reference ``networks/FlowNetFusion.py``)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = lambda f, k=3, s=1, name=None: _ConvBlock(
+            f, k, s, dtype=self.dtype, name=name)
+
+        c0 = C(64, name="conv0")(x, train)
+        c1 = C(64, s=2, name="conv1")(c0, train)
+        c1 = C(128, name="conv1_1")(c1, train)
+        c2 = C(128, s=2, name="conv2")(c1, train)
+        c2 = C(128, name="conv2_1")(c2, train)
+
+        flow2 = _PredictFlow(name="predict_flow2")(c2)
+        flow2_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding="SAME", name="up_flow2")(flow2)
+        d1 = _Deconv(32, name="deconv1")(c2)
+        cat1 = jnp.concatenate([c1, d1, flow2_up], -1)
+        i1 = _ConvBlock(32, act=False, bias=True, name="inter_conv1")(cat1, train)
+        flow1 = _PredictFlow(name="predict_flow1")(i1)
+        flow1_up = nn.ConvTranspose(2, (4, 4), strides=(2, 2),
+                                    padding="SAME", name="up_flow1")(flow1)
+        d0 = _Deconv(16, name="deconv0")(cat1)
+        cat0 = jnp.concatenate([c0, d0, flow1_up], -1)
+        i0 = _ConvBlock(16, act=False, bias=True, name="inter_conv0")(cat0, train)
+        return _PredictFlow(name="predict_flow0")(i0)
+
+
+class FlowNet2(nn.Module):
+    """The full warping-and-stacking composite (reference
+    ``models.py:29-188``): FlowNetC -> two warped-refinement FlowNetS passes
+    -> FlowNetSD branch -> FlowNetFusion, with bilinear/nearest upsampling,
+    flow-warping (``ops.resample2d``) and channel-norm error magnitudes
+    (``ops.channel_norm``) between stages.
+
+    Input: (B, H, W, 6) =two stacked normalized frames.  Output: (B, H, W, 2).
+    """
+
+    div_flow: float = 20.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from jafpro_tpu.ops.image import channel_norm
+        from jafpro_tpu.ops.sampling import resample2d, resize_bilinear, resize_nearest
+
+        B, H, W, _ = x.shape
+        img0, img1 = x[..., :3], x[..., 3:]
+
+        flow_c2 = FlowNetC(dtype=self.dtype, name="flownetc")(
+            img0, img1, train)
+        flow_c = resize_bilinear(flow_c2 * self.div_flow, (H, W),
+                                 align_corners=False)
+
+        warped1 = resample2d(img1, flow_c)
+        diff = channel_norm(img0 - warped1)
+        cat1 = jnp.concatenate(
+            [x, warped1, flow_c / self.div_flow, diff], -1)
+
+        flow_s1_2 = FlowNetS(dtype=self.dtype, name="flownets_1")(cat1, train)
+        flow_s1 = resize_bilinear(flow_s1_2 * self.div_flow, (H, W),
+                                  align_corners=False)
+
+        warped1 = resample2d(img1, flow_s1)
+        diff = channel_norm(img0 - warped1)
+        cat2 = jnp.concatenate(
+            [x, warped1, flow_s1 / self.div_flow, diff], -1)
+
+        flow_s2_2 = FlowNetS(dtype=self.dtype, name="flownets_2")(cat2, train)
+        flow_s2 = resize_nearest(flow_s2_2 * self.div_flow, (H, W))
+        norm_s2 = channel_norm(flow_s2)
+        warp_s2 = resample2d(img1, flow_s2)
+        diff_s2 = channel_norm(img0 - warp_s2)
+
+        flow_sd_2 = FlowNetSD(dtype=self.dtype, name="flownets_d")(x, train)
+        flow_sd = resize_nearest(flow_sd_2 / self.div_flow, (H, W))
+        norm_sd = channel_norm(flow_sd)
+        warp_sd = resample2d(img1, flow_sd)
+        diff_sd = channel_norm(img0 - warp_sd)
+
+        cat3 = jnp.concatenate(
+            [img0, flow_sd, flow_s2, norm_sd, norm_s2, diff_sd, diff_s2], -1)
+        return FlowNetFusion(dtype=self.dtype, name="flownetfusion")(
+            cat3, train)
+
+
+def flownet2_preprocess(frames: jnp.ndarray, rgb_max: float = 255.0):
+    """(B, H, W, 3, 2) raw frame pair -> (B, H, W, 6) mean-subtracted stack
+    (reference ``models.py:120-127``)."""
+    rgb_mean = jnp.mean(frames, axis=(1, 2, 4), keepdims=True)
+    x = (frames - rgb_mean) / rgb_max
+    return jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)
+
+
+# ---- flow training losses (reference flownet2_pytorch/losses.py) ----
+
+def epe(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """End-point error: mean L2 norm over the flow channel axis (NHWC)."""
+    return jnp.mean(jnp.linalg.norm(target - pred, axis=-1))
+
+
+def multiscale_flow_loss(
+    pyramid, target: jnp.ndarray, start_scale: int = 4,
+    l_weight: float = 0.32, div_flow: float = 0.05, norm: str = "L1",
+):
+    """Weighted multi-scale flow loss (reference ``losses.py:MultiScale``).
+    pyramid: tuple of NHWC flows at 1/4, 1/8, ... resolution."""
+    import jax
+
+    target = div_flow * target
+    loss = 0.0
+    epev = 0.0
+    for i, p in enumerate(pyramid):
+        k = start_scale * (2 ** i)
+        t = jax.lax.reduce_window(
+            target, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+        ) / (k * k)
+        w = l_weight / (2 ** i)
+        if norm == "L1":
+            loss = loss + w * jnp.mean(jnp.abs(p - t))
+        else:
+            loss = loss + w * jnp.mean(jnp.linalg.norm(p - t, axis=-1))
+        epev = epev + w * epe(p, t)
+    return loss, epev

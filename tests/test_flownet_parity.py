@@ -66,3 +66,37 @@ def test_flownet_sd_matches_torch_reference(tmp_path):
         ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0]
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_flownet_s_fusion_flownet2_shapes():
+    from jafpro_tpu.models.flownet import (
+        FlowNet2, FlowNetFusion, FlowNetS, epe, flownet2_preprocess,
+        multiscale_flow_loss)
+
+    key = jax.random.PRNGKey(0)
+    s = FlowNetS()
+    x = jax.random.normal(key, (1, 64, 64, 12))
+    v = s.init(key, x)
+    assert s.apply(v, x).shape == (1, 16, 16, 2)
+
+    f = FlowNetFusion()
+    xf = jax.random.normal(key, (1, 64, 64, 11))
+    vf = f.init(key, xf)
+    assert f.apply(vf, xf).shape == (1, 64, 64, 2)
+
+    frames = jax.random.uniform(key, (1, 64, 64, 3, 2)) * 255
+    x2 = flownet2_preprocess(frames)
+    assert x2.shape == (1, 64, 64, 6)
+    net = FlowNet2()
+    v2 = net.init(key, x2)
+    flow = net.apply(v2, x2)
+    assert flow.shape == (1, 64, 64, 2)
+
+    # losses
+    tgt = jax.random.normal(key, (1, 64, 64, 2))
+    assert float(epe(tgt, tgt)) == 0.0
+    pyr = tuple(jax.random.normal(key, (1, 64 // (4 * 2 ** i),
+                                        64 // (4 * 2 ** i), 2))
+                for i in range(3))
+    loss, e = multiscale_flow_loss(pyr, tgt)
+    assert np.isfinite(float(loss)) and np.isfinite(float(e))
