@@ -137,3 +137,50 @@ def masks_to_atlas(part_masks: np.ndarray) -> np.ndarray:
         r, c = i // 6, i % 6
         out[r * p:(r + 1) * p, c * p:(c + 1) * p] = part_masks[i]
     return out
+
+
+def texture_fusion(
+    texture1: np.ndarray, texture2: np.ndarray,
+    mask1: np.ndarray, mask2: np.ndarray, radius: int = 7,
+):
+    """Greedy two-atlas fusion (reference ``Texture_fusion``
+    ``src/utils.py:397-433``): keep texture1 everywhere it is observed and
+    fill from texture2 only outside a dilated overlap band.
+
+    textures: (H, W, 3) uint8-range; masks: (H, W) 0..255.
+    Returns (fused_texture, observed_mask*255, inpaint_area*255).
+    """
+    import cv2
+
+    m1 = (mask1 / 255).astype(np.uint8)
+    m2 = (mask2 / 255).astype(np.uint8)
+    inter = np.logical_and(m1, m2).astype(np.float64)
+    kernel = np.ones((radius, radius), np.uint8)
+    dilated = cv2.dilate(inter, kernel).astype(np.uint8)
+    non_overlap = np.subtract(m2, dilated, dtype=np.uint8)
+    complement = (non_overlap[..., None].repeat(3, 2) * texture2).astype(
+        texture1.dtype)
+    fused = complement + texture1
+    observed = m1 + non_overlap * m2
+    inpaint = np.subtract(1, observed, dtype=np.uint8)
+    return fused, (observed * 255).astype(np.uint8), \
+        (inpaint * 255).astype(np.uint8)
+
+
+def write_gif(path: str, frames: np.ndarray, fps: int = 10) -> str:
+    """GIF export (reference ``src/utils.py:434-468`` used moviepy; PIL
+    here).  frames: (T, H, W[, 3]) floats [0,1] or uint8."""
+    from PIL import Image
+    import os as _os
+
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[..., None], 3, -1)
+    if frames.dtype != np.uint8:
+        frames = np.clip(frames * 255, 0, 255).astype(np.uint8)
+    imgs = [Image.fromarray(f) for f in frames]
+    base, _ = _os.path.splitext(path)
+    path = base + ".gif"
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    return path

@@ -148,3 +148,23 @@ def evaluate_video(
         fg_ = flow_apply(flow_params, pairs_g)
         out["flow_l1"] = float(jnp.mean(jnp.abs(fp - fg_)))
     return out
+
+
+def similarity_analysis(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+    """Legacy standalone metrics with standard deviations (reference
+    ``src/similarity_analysis_update.py:56-89``): per-frame PSNR / SSIM /
+    L1-norm means and stds over a video pair (T, H, W, 3) in [0, 1]."""
+    pred = np.asarray(pred, np.float32)
+    gt = np.asarray(gt, np.float32)
+    if pred.max() > 1.5:
+        pred, gt = pred / 255.0, gt / 255.0
+    p, g = jnp.asarray(pred), jnp.asarray(gt)
+    pg, gg = rgb_to_gray(p), rgb_to_gray(g)
+    ssims = np.asarray(ssim(pg, gg))
+    psnrs = np.asarray(psnr(pg, gg))
+    l1s = np.abs(pred - gt).reshape(pred.shape[0], -1).mean(1)
+    return {
+        "psnr_mean": float(psnrs.mean()), "psnr_std": float(psnrs.std()),
+        "ssim_mean": float(ssims.mean()), "ssim_std": float(ssims.std()),
+        "l1_mean": float(l1s.mean()), "l1_std": float(l1s.std()),
+    }

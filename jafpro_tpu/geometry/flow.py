@@ -149,3 +149,24 @@ class SMPLFlowEngine:
         forward (reference ``cal_flow.py:21-26``)."""
         flow = self.cal_flow(src_cam, src_vertices, tgt_cam, tgt_vertices)
         return self.warp_image(src_img, flow)
+
+
+def swap_smpl(
+    src_cam: jnp.ndarray, src_shape: jnp.ndarray, tgt_smpl: jnp.ndarray,
+    first_cam: jnp.ndarray, cam_strategy: str = "smooth",
+) -> jnp.ndarray:
+    """Motion-transfer SMPL recomposition (reference ``cal_flow.py:41-58``):
+    take the target's pose, the source's shape, and a camera per strategy
+    ('smooth': source cam + target's xy drift relative to the first frame;
+    'source': source cam; else target cam).  tgt_smpl: (B, 85)."""
+    tgt_cam = tgt_smpl[:, 0:3]
+    pose = tgt_smpl[:, 3:75]
+    if cam_strategy == "smooth":
+        delta_xy = tgt_cam[:, 1:] - first_cam[:, 1:]
+        cam = jnp.concatenate(
+            [src_cam[:, :1], src_cam[:, 1:] + delta_xy], axis=1)
+    elif cam_strategy == "source":
+        cam = src_cam
+    else:
+        cam = tgt_cam
+    return jnp.concatenate([cam, pose, src_shape], axis=1)

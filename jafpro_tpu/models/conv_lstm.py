@@ -79,3 +79,85 @@ class ConvLSTM(nn.Module):
         inputs = (xs, mask) if mask is not None else xs
         (h, c), ys = cell(init, inputs)
         return ys, (h, c)
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU cell (reference ``src/convLSTM.py:167-230``):
+    fused reset/update gates, candidate from the reset-gated state.
+    Documented ablation alternative to the ConvLSTM fusion (unused on the
+    reference's main path)."""
+
+    hidden_dim: int
+    kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, state, inputs):
+        h_prev = state
+        x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
+        pad = [(self.kernel // 2, self.kernel // 2)] * 2
+        gates = nn.Conv(2 * self.hidden_dim, (self.kernel, self.kernel),
+                        padding=pad, dtype=self.dtype)(
+            jnp.concatenate([x, h_prev], axis=-1))
+        r, z = jnp.split(gates, 2, axis=-1)
+        r, z = nn.sigmoid(r), nn.sigmoid(z)
+        cand = nn.tanh(nn.Conv(
+            self.hidden_dim, (self.kernel, self.kernel), padding=pad,
+            dtype=self.dtype)(jnp.concatenate([x, r * h_prev], axis=-1)))
+        h = z * h_prev + (1 - z) * cand
+        if m is not None:
+            mm = m[:, None, None, None].astype(h.dtype)
+            h = h_prev * (1 - mm) + h * mm
+        return h, h
+
+
+class ModConvGRUCell(nn.Module):
+    """Learned-blend-mask GRU variant (reference ``convLSTM.py:334-394``):
+    a single 1-channel sigmoid mask blends the previous state with a
+    candidate computed from the input alone."""
+
+    hidden_dim: int
+    kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, state, inputs):
+        h_prev = state
+        x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
+        pad = [(self.kernel // 2, self.kernel // 2)] * 2
+        blend = nn.sigmoid(nn.Conv(1, (self.kernel, self.kernel), padding=pad,
+                                   dtype=self.dtype)(
+            jnp.concatenate([x, h_prev], axis=-1)))
+        cand = nn.tanh(nn.Conv(self.hidden_dim, (self.kernel, self.kernel),
+                               padding=pad, dtype=self.dtype)(x))
+        h = h_prev * blend + (1 - blend) * cand
+        if m is not None:
+            mm = m[:, None, None, None].astype(h.dtype)
+            h = h_prev * (1 - mm) + h * mm
+        return h, h
+
+
+class ConvGRU(nn.Module):
+    """Single-layer scanned ConvGRU over (B, T, H, W, C)."""
+
+    hidden_dim: int
+    kernel: int = 3
+    cell: str = "gru"  # "gru" | "modgru"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs, mask: Optional[jnp.ndarray] = None):
+        B, T, H, W, C = xs.shape
+        cell_cls = ConvGRUCell if self.cell == "gru" else ModConvGRUCell
+        scan = nn.scan(
+            cell_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        cell = scan(self.hidden_dim, self.kernel, dtype=self.dtype)
+        init = jnp.zeros((B, H, W, self.hidden_dim), xs.dtype)
+        inputs = (xs, mask) if mask is not None else xs
+        h, ys = cell(init, inputs)
+        return ys, h

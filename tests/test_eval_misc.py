@@ -151,3 +151,60 @@ def test_vgg_torch_converter(tmp_path):
             h, sd["features.2.weight"], sd["features.2.bias"], padding=1)
     np.testing.assert_allclose(
         np.asarray(feats[0]), h.numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+
+def test_texture_fusion_and_gif(tmp_path):
+    from jafpro_tpu.data.texture import texture_fusion, write_gif
+
+    t1 = np.zeros((32, 32, 3), np.uint8)
+    t2 = np.full((32, 32, 3), 200, np.uint8)
+    m1 = np.zeros((32, 32), np.uint8)
+    m1[:16] = 255
+    m2 = np.zeros((32, 32), np.uint8)
+    m2[20:] = 255  # disjoint from m1 -> texture2 fills its region
+    fused, observed, inpaint = texture_fusion(t1, t2, m1, m2)
+    assert (fused[24] == 200).all() and (fused[8] == 0).all()
+    assert observed[8, 0] == 255 and observed[24, 0] == 255
+    assert inpaint[18, 0] == 255  # gap remains to inpaint
+
+    frames = np.random.RandomState(0).rand(4, 16, 16, 3)
+    p = write_gif(str(tmp_path / "clip.gif"), frames, fps=5)
+    import os
+    assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_similarity_analysis():
+    from jafpro_tpu.evaluate import similarity_analysis
+
+    pred = RNG.rand(4, 32, 32, 3).astype(np.float32)
+    m = similarity_analysis(pred, pred)
+    assert m["ssim_mean"] > 0.999 and m["l1_mean"] == 0.0
+
+
+def test_swap_smpl():
+    from jafpro_tpu.geometry.flow import swap_smpl
+
+    src_cam = jnp.asarray([[1.0, 0.1, 0.2]])
+    src_shape = jnp.asarray(RNG.rand(1, 10), jnp.float32)
+    tgt = jnp.asarray(RNG.rand(1, 85), jnp.float32)
+    first_cam = jnp.asarray([[0.9, 0.0, 0.0]])
+    out = np.asarray(swap_smpl(src_cam, src_shape, tgt, first_cam, "smooth"))
+    assert out.shape == (1, 85)
+    np.testing.assert_allclose(out[0, 0], 1.0)  # source scale kept
+    np.testing.assert_allclose(
+        out[0, 1], 0.1 + float(tgt[0, 1]) - 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 75:], np.asarray(src_shape)[0])
+    out_src = np.asarray(swap_smpl(src_cam, src_shape, tgt, first_cam, "source"))
+    np.testing.assert_allclose(out_src[0, :3], np.asarray(src_cam)[0])
+
+
+def test_conv_gru_variants():
+    import jax
+    from jafpro_tpu.models.conv_lstm import ConvGRU
+
+    xs = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 8, 8, 4))
+    for cell in ("gru", "modgru"):
+        m = ConvGRU(hidden_dim=6, cell=cell)
+        v = m.init(jax.random.PRNGKey(1), xs)
+        ys, h = m.apply(v, xs)
+        assert ys.shape == (1, 3, 8, 8, 6) and h.shape == (1, 8, 8, 6)
