@@ -161,3 +161,126 @@ def list_videos(data_root: str, mode: str = "test") -> List[str]:
         return []
     return sorted(n for n in os.listdir(d)
                   if os.path.isdir(os.path.join(d, n)))
+
+
+def face_bbox_from_iuv(iuv255: np.ndarray, image_size: int = 256) -> np.ndarray:
+    """Face bbox (x0, x1, y0, y1) from DensePose parts 23/24 with the
+    reference's +/-2(+3) margin (``src/data.py:700-716``).  Returns zeros
+    when no face pixels exist (the trainer skips such samples)."""
+    ys1, xs1 = np.where(iuv255[..., 0] == 23)
+    ys2, xs2 = np.where(iuv255[..., 0] == 24)
+    xs = np.concatenate([xs1, xs2])
+    ys = np.concatenate([ys1, ys2])
+    if xs.size == 0:
+        return np.zeros((4,), np.float32)
+    return np.asarray([
+        max(xs.min() - 2, 0), min(xs.max() + 3, image_size),
+        max(ys.min() - 2, 0), min(ys.max() + 3, image_size),
+    ], np.float32)
+
+
+def load_textonly_sample(
+    data_dir: str, vid_name: str, rng: np.random.RandomState,
+    num_inputs: int = 4, num_target: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Stage-1/2 sample (reference ``Fusion_dataset_textonly``
+    ``src/data.py:187-258``): random disjoint reference+target frames; the
+    800x1200 atlases and masks are returned as 24-part stacks."""
+    import jax.numpy as jnp
+
+    from jafpro_tpu.data.texture import atlas_to_parts
+
+    files = list_clip_files(os.path.join(data_dir, vid_name))
+    T = len(files["text"])
+    frames = rng.choice(T, num_inputs + num_target, replace=False)
+
+    def read_parts(paths, idxs, is_mask):
+        arr = np.stack([_imread(p)[..., 0] if is_mask else _imread(p)
+                        for p in (paths[i] for i in idxs)]).astype(np.float32)
+        if is_mask:
+            arr = (arr / 255.0)[..., None]
+        else:
+            arr = (arr / 255.0 - 0.5) * 2.0
+        parts = np.asarray(atlas_to_parts(jnp.asarray(arr), 200))
+        return parts
+
+    src_idx = frames[num_target:]
+    tgt_idx = frames[:num_target]
+    return {
+        "src_parts": read_parts(files["text"], src_idx, False)[None],
+        "src_mask_parts": read_parts(files["mask"], src_idx, True)[None, ..., 0],
+        "tgt_parts": read_parts(files["text"], tgt_idx, False)[None],
+        "tgt_mask_parts": read_parts(files["mask"], tgt_idx, True)[None, ..., 0],
+        "ref_mask": np.ones((1, num_inputs), np.float32),
+    }
+
+
+def load_interval_sample(
+    data_dir: str, smpl_dir: str, mask_dir: str, vid_name: str,
+    rng: np.random.RandomState, num_inputs: int = 4, num_target: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Stage-3/4 sample (reference ``Fusion_dataset_smpl_interval``
+    ``src/data.py:608-776``): images + IUVs + atlases + SMPL params for
+    random disjoint frames, assembled into the stage batch contract
+    (prev-frame fields are filled by the curriculum sampler)."""
+    import jax.numpy as jnp
+
+    from jafpro_tpu.data.texture import atlas_to_parts
+
+    files = list_clip_files(os.path.join(data_dir, vid_name))
+    T = len(files["img"])
+    frames = rng.choice(T, num_inputs + num_target, replace=False)
+    src_idx, tgt_idx = frames[num_target:], frames[:num_target]
+
+    tex = np.stack([_imread(files["text"][i]) for i in src_idx]).astype(np.float32)
+    tex = (tex / 255.0 - 0.5) * 2.0
+    masks = np.stack(
+        [_imread(files["mask"][i])[..., 0] for i in src_idx]).astype(np.float32) / 255.0
+    src_parts = np.asarray(atlas_to_parts(jnp.asarray(tex), 200))
+    mask_parts = np.asarray(
+        atlas_to_parts(jnp.asarray(masks[..., None]), 200))[..., 0]
+
+    def read_imgs(paths, idxs):
+        a = np.stack([_imread(paths[i]) for i in idxs]).astype(np.float32)
+        return (a / 255.0 - 0.5) * 2.0
+
+    src_img = read_imgs(files["img"], src_idx)
+    tgt_img = read_imgs(files["img"], tgt_idx)
+    src_iuv255 = np.stack(
+        [_imread(files["iuv"][i]) for i in src_idx]).astype(np.float32)
+    tgt_iuv255 = np.stack(
+        [_imread(files["iuv"][i]) for i in tgt_idx]).astype(np.float32)
+
+    with open(os.path.join(smpl_dir, vid_name, "pose_shape.pkl"), "rb") as f:
+        smpl = pickle.load(f)
+    cams = np.asarray(smpl["cams"], np.float32)
+    verts = np.asarray(smpl["vertices"], np.float32)
+
+    rm_dir = os.path.join(mask_dir, vid_name)
+    rm_files = sorted((os.path.join(rm_dir, n) for n in os.listdir(rm_dir)
+                       if n.endswith("png")), key=_frame_number)
+    smpl_mask = (_imread(rm_files[tgt_idx[0]])[..., :1].astype(np.float32)
+                 / 255.0)
+
+    in_image = (src_iuv255[0, ..., 0] > 0).astype(np.float32)[..., None]
+    bg_incomplete = (1 - in_image) * src_img[0] + in_image * rng.randn(
+        *src_img[0].shape).astype(np.float32)
+
+    return {
+        "src_parts": src_parts[None],
+        "src_mask_parts": mask_parts[None],
+        "ref_mask": np.ones((1, num_inputs), np.float32),
+        "tgt_iuv255": tgt_iuv255[:1],  # (1, S, S, 3)
+        "tgt_iuv": ((tgt_iuv255[0] / 255.0 - 0.5) * 2.0)[None],
+        "tgt_img": tgt_img[:1],
+        "src_img_first": src_img[:1],
+        "src_imgs": src_img,
+        "bg_incomplete": bg_incomplete[None],
+        "smpl_mask": smpl_mask[None],
+        "face_bbox": face_bbox_from_iuv(tgt_iuv255[0])[None],
+        "src_frame_indices": src_idx.astype(np.int32),
+        "tgt_cam": cams[tgt_idx[:1]],
+        "tgt_verts": verts[tgt_idx[:1]],
+        "src_cams": cams[src_idx],
+        "src_verts": verts[src_idx],
+    }

@@ -1,0 +1,118 @@
+"""Dataset loaders against a synthetic on-disk DanceVideo-layout fixture."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from jafpro_tpu.data.dataset import (
+    face_bbox_from_iuv,
+    list_clip_files,
+    list_videos,
+    load_clip,
+    load_interval_sample,
+    load_textonly_sample,
+)
+
+T_FRAMES = 6
+S = 64  # small images; atlases are 4x6 of 200 => keep real 800x1200? too big
+# the loaders hard-code 200px parts for atlases: write real-size atlases but
+# tiny counts to keep the fixture fast.
+
+
+@pytest.fixture(scope="module")
+def dance_root(tmp_path_factory):
+    import cv2
+
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp("dance")
+    data = root / "data" / "test" / "vid_001"
+    smpl = root / "smpl" / "test" / "vid_001"
+    mask = root / "mask" / "test" / "vid_001"
+    for d in (data, smpl, mask):
+        d.mkdir(parents=True)
+
+    for i in range(T_FRAMES):
+        img = rng.randint(0, 255, (256, 256, 3), np.uint8)
+        iuv = np.zeros((256, 256, 3), np.uint8)
+        iuv[..., 0] = rng.randint(0, 25, (256, 256))
+        iuv[100:120, 100:130, 0] = 23  # face region
+        iuv[..., 1:] = rng.randint(0, 255, (256, 256, 2))
+        tex = rng.randint(0, 255, (800, 1200, 3), np.uint8)
+        m = (rng.rand(800, 1200) > 0.5).astype(np.uint8) * 255
+        cv2.imwrite(str(data / f"frame_{i:06d}.jpg"), img)
+        cv2.imwrite(str(data / f"frame_{i:06d}_IUV.png"), iuv)
+        cv2.imwrite(str(data / f"frame_{i:06d}_text.png"), tex)
+        cv2.imwrite(str(data / f"frame_{i:06d}_mask.png"),
+                    np.repeat(m[..., None], 3, 2))
+        cv2.imwrite(str(mask / f"frame_{i:06d}.png"),
+                    rng.randint(0, 2, (256, 256, 3), np.uint8) * 255)
+
+    with open(smpl / "pose_shape.pkl", "wb") as f:
+        pickle.dump({
+            "cams": rng.rand(T_FRAMES, 3).astype(np.float32),
+            "pose": rng.rand(T_FRAMES, 72).astype(np.float32),
+            "shape": rng.rand(T_FRAMES, 10).astype(np.float32),
+            "vertices": rng.rand(T_FRAMES, 32, 3).astype(np.float32),
+        }, f)
+    return str(root)
+
+
+def test_list_files_and_videos(dance_root):
+    assert list_videos(os.path.join(dance_root, "data"), "test") == ["vid_001"]
+    files = list_clip_files(
+        os.path.join(dance_root, "data", "test", "vid_001"))
+    for k in ("img", "iuv", "text", "mask"):
+        assert len(files[k]) == T_FRAMES, k
+    # sorted by frame number
+    assert all("000000" in files[k][0] for k in files)
+
+
+def test_load_clip(dance_root):
+    clip = load_clip(
+        os.path.join(dance_root, "data", "test"),
+        os.path.join(dance_root, "smpl", "test"),
+        os.path.join(dance_root, "mask", "test"),
+        "vid_001", num_refs=4)
+    assert clip["src_parts"].shape == (1, 4, 24, 200, 200, 3)
+    assert clip["src_mask_parts"].shape == (1, 4, 24, 200, 200)
+    assert clip["tgt_iuv255"].shape == (T_FRAMES, 256, 256, 3)
+    assert clip["verts"].shape == (T_FRAMES, 32, 3)
+    assert clip["chosen_frames"].shape == (4,)
+    assert clip["src_imgs"].shape == (4, 256, 256, 3)
+    assert -1.01 <= clip["src_parts"].min() and clip["src_parts"].max() <= 1.01
+
+
+def test_load_textonly_sample(dance_root):
+    rng = np.random.RandomState(1)
+    b = load_textonly_sample(
+        os.path.join(dance_root, "data", "test"), "vid_001", rng,
+        num_inputs=4, num_target=2)
+    assert b["src_parts"].shape == (1, 4, 24, 200, 200, 3)
+    assert b["tgt_parts"].shape == (1, 2, 24, 200, 200, 3)
+    assert b["tgt_mask_parts"].shape == (1, 2, 24, 200, 200)
+    assert set(np.unique(b["src_mask_parts"])).issubset({0.0, 1.0})
+
+
+def test_load_interval_sample(dance_root):
+    rng = np.random.RandomState(2)
+    b = load_interval_sample(
+        os.path.join(dance_root, "data", "test"),
+        os.path.join(dance_root, "smpl", "test"),
+        os.path.join(dance_root, "mask", "test"),
+        "vid_001", rng, num_inputs=4, num_target=1)
+    assert b["src_parts"].shape == (1, 4, 24, 200, 200, 3)
+    assert b["tgt_img"].shape == (1, 256, 256, 3)
+    assert b["face_bbox"].shape == (1, 4)
+    x0, x1, y0, y1 = b["face_bbox"][0]
+    assert x1 > x0 and y1 > y0  # fixture always has a face
+    assert b["src_cams"].shape == (4, 3) and b["src_verts"].shape == (4, 32, 3)
+
+
+def test_face_bbox_margins():
+    iuv = np.zeros((256, 256, 3), np.float32)
+    iuv[50:60, 70:80, 0] = 23
+    bb = face_bbox_from_iuv(iuv)
+    np.testing.assert_array_equal(bb, [68, 82, 48, 62])
+    assert (face_bbox_from_iuv(np.zeros((256, 256, 3))) == 0).all()
