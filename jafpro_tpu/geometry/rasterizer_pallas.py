@@ -5,12 +5,17 @@ but executed as a Pallas kernel that:
 
   * tiles pixels over the grid (ROWS_PER_TILE rows per program),
   * keeps all face data VMEM-resident (13776 faces x 18 floats < 1 MB),
-  * carries the running (depth, face-index) minimum in registers through a
-    ``fori_loop`` over face blocks — no (pixels x faces) tensor ever touches
-    HBM (the XLA fallback streams ~27 such intermediates per image),
+  * carries the running (depth, face-index) minimum through a ``fori_loop``
+    over face blocks — no (pixels x faces) tensor ever touches HBM (the XLA
+    fallback streams ~27 such intermediates per image),
   * skips whole face blocks whose y-extent cannot intersect the pixel tile
     (block bounding-box culling): SMPL face indices are spatially coherent,
-    so most of the 108 blocks are culled for most tiles.
+    so most blocks are culled for most tiles.
+
+Mosaic layout notes: pixels are kept flat as (P, 1) vectors (P = rows*S)
+with integer div/mod coordinates — reshapes between (rows, S) and (P, 1)
+vector shapes are unsupported; outputs are (P, 1) blocks of an (S*S, 1)
+array, reshaped to (S, S) outside the kernel.
 
 Weights for the winning face are recomputed afterwards in XLA by one gather
 (same trick as the XLA path).
@@ -31,12 +36,16 @@ def _raster_kernel(xk_ref, yk_ref, zk_ref, invk_ref, valid_ref,
                    depth_ref, idx_ref, *, image_size, rows, near, far,
                    n_blocks, block):
     S = image_size
+    P = rows * S
     t = pl.program_id(0)
     row0 = t * rows
 
-    # pixel coordinates for this tile: (rows*S,) flattened as (rows, S)
-    yi = (row0 + jax.lax.broadcasted_iota(jnp.float32, (rows, S), 0))
-    xi = jax.lax.broadcasted_iota(jnp.float32, (rows, S), 1)
+    # flat pixel index -> (yi, xi), all shapes (P, 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    yi_i = row0 + p // S
+    xi_i = p % S
+    yi = yi_i.astype(jnp.float32)
+    xi = xi_i.astype(jnp.float32)
     xp = (2.0 * xi + 1.0 - S) / S
     yp = (2.0 * yi + 1.0 - S) / S
 
@@ -55,23 +64,17 @@ def _raster_kernel(xk_ref, yk_ref, zk_ref, invk_ref, valid_ref,
         inv = invk_ref[pl.ds(b * block, block), :]
         val = valid_ref[pl.ds(b * block, block), 0]
 
-        P = rows * S
-        xpf = xp.reshape(P, 1)
-        ypf = yp.reshape(P, 1)
-        xif = xi.reshape(P, 1)
-        yif = yi.reshape(P, 1)
-
         x0, x1, x2 = xs[:, 0][None], xs[:, 1][None], xs[:, 2][None]
         y0, y1, y2 = ys[:, 0][None], ys[:, 1][None], ys[:, 2][None]
 
-        e0 = (ypf - y0) * (x1 - x0) >= (xpf - x0) * (y1 - y0)
-        e1 = (ypf - y1) * (x2 - x1) >= (xpf - x1) * (y2 - y1)
-        e2 = (ypf - y2) * (x0 - x2) >= (xpf - x2) * (y0 - y2)
+        e0 = (yp - y0) * (x1 - x0) >= (xp - x0) * (y1 - y0)
+        e1 = (yp - y1) * (x2 - x1) >= (xp - x1) * (y2 - y1)
+        e2 = (yp - y2) * (x0 - x2) >= (xp - x2) * (y0 - y2)
         inside = e0 & e1 & e2 & (val[None] > 0)
 
-        w0 = inv[:, 0][None] * xif + inv[:, 1][None] * yif + inv[:, 2][None]
-        w1 = inv[:, 3][None] * xif + inv[:, 4][None] * yif + inv[:, 5][None]
-        w2 = inv[:, 6][None] * xif + inv[:, 7][None] * yif + inv[:, 8][None]
+        w0 = inv[:, 0][None] * xi + inv[:, 1][None] * yi + inv[:, 2][None]
+        w1 = inv[:, 3][None] * xi + inv[:, 4][None] * yi + inv[:, 5][None]
+        w2 = inv[:, 6][None] * xi + inv[:, 7][None] * yi + inv[:, 8][None]
         w0 = jnp.clip(w0, 0.0, 1.0)
         w1 = jnp.clip(w1, 0.0, 1.0)
         w2 = jnp.clip(w2, 0.0, 1.0)
@@ -81,10 +84,10 @@ def _raster_kernel(xk_ref, yk_ref, zk_ref, invk_ref, valid_ref,
         zp = 1.0 / inv_zp
 
         ok = inside & (zp > near) & (zp < far) & (inv_zp > 0)
-        depth = jnp.where(ok, zp, far_f)
+        depth = jnp.where(ok, zp, far_f)  # (P, block)
 
-        blk_min = jnp.min(depth, axis=1)
-        blk_arg = jnp.argmin(depth, axis=1).astype(jnp.int32)
+        blk_min = jnp.min(depth, axis=1, keepdims=True)
+        blk_arg = jnp.argmin(depth, axis=1, keepdims=True).astype(jnp.int32)
 
         better = blk_min < depth_min
         new_depth = jnp.where(better, blk_min, depth_min)
@@ -98,13 +101,12 @@ def _raster_kernel(xk_ref, yk_ref, zk_ref, invk_ref, valid_ref,
         return jax.lax.cond(
             hit, lambda c: compute_block(b, c), lambda c: c, carry)
 
-    P = rows * S
-    init = (jnp.full((P,), far_f, jnp.float32),
-            jnp.full((P,), -1, jnp.int32))
+    init = (jnp.full((P, 1), far_f, jnp.float32),
+            jnp.full((P, 1), -1, jnp.int32))
     depth_min, idx_min = jax.lax.fori_loop(0, n_blocks, body, init)
 
-    depth_ref[...] = depth_min.reshape(rows, S)
-    idx_ref[...] = idx_min.reshape(rows, S)
+    depth_ref[...] = depth_min
+    idx_ref[...] = idx_min
 
 
 @functools.partial(
@@ -165,28 +167,30 @@ def rasterize_fim_wim_pallas(
     ymax_blk = jnp.max(yhi, axis=-1)[..., None]
 
     n_tiles = -(-S // rows)
+    P = rows * S
 
     kernel = functools.partial(
         _raster_kernel, image_size=S, rows=rows, near=near, far=far,
         n_blocks=n_blocks, block=block)
 
     def single(xb, yb, zb, invb, validb, yminb, ymaxb):
-        return pl.pallas_call(
+        depth, idx = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=[
-                pl.BlockSpec((rows, S), lambda t: (t, 0),
+                pl.BlockSpec((P, 1), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S), lambda t: (t, 0),
+                pl.BlockSpec((P, 1), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((S, S), jnp.float32),
-                jax.ShapeDtypeStruct((S, S), jnp.int32),
+                jax.ShapeDtypeStruct((S * S, 1), jnp.float32),
+                jax.ShapeDtypeStruct((S * S, 1), jnp.int32),
             ],
             interpret=interpret,
         )(xb, yb, zb, invb, validb, yminb, ymaxb)
+        return depth.reshape(S, S), idx.reshape(S, S)
 
     depth, idx = jax.vmap(single)(x, y, z, inv, valid, ymin_blk, ymax_blk)
 

@@ -155,3 +155,29 @@ def test_texture_warp_matches_reference_loop():
         gen = torch.where(sel, samp, gen)
     ref = gen[0].permute(1, 2, 0).numpy()
     np.testing.assert_allclose(ours[0], ref, atol=1e-5)
+
+
+def test_sample_layer_norm_matches_torch_reference():
+    """The CRN's custom LayerNorm has unusual semantics (per-sample stats
+    over all dims, Bessel-corrected std, (x-mean)/(std+eps)) — check against
+    a literal torch transcription of crn_model.py:67-87."""
+    import torch
+
+    from jafpro_tpu.models.common import SampleLayerNorm
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 5, 4).astype(np.float32)
+    m = SampleLayerNorm(features=4)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    gamma = np.asarray(params["params"]["gamma"])
+    beta = np.asarray(params["params"]["beta"])
+    ours = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW like the reference
+    mean = t.reshape(2, -1).mean(1).reshape(2, 1, 1, 1)
+    std = t.reshape(2, -1).std(1).reshape(2, 1, 1, 1)  # Bessel by default
+    y = (t - mean) / (std + 1e-5)
+    y = y * torch.from_numpy(gamma).reshape(1, -1, 1, 1) + \
+        torch.from_numpy(beta).reshape(1, -1, 1, 1)
+    ref = y.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

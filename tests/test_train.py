@@ -131,3 +131,18 @@ def test_video_generator(setup):
     assert out["final"].shape == (T, S, S, 3)
     assert out["mask"].shape == (T, S, S, 1)
     assert np.isfinite(np.asarray(out["final"])).all()
+
+
+def test_stage3_step(setup):
+    from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
+
+    pipe, params, batch = setup
+    state = TrainState.create(params, stage3_lrs())
+    step = jax.jit(make_stage3_step(pipe))
+    state2, m = step(state, batch)
+    for k in ("loss", "recon", "G", "FG", "D", "FD"):
+        assert np.isfinite(float(m[k])), k
+    # stage 3 trains bg (unlike stage 4)
+    b0 = jax.tree_util.tree_leaves(state.params["bg"])[0]
+    b1 = jax.tree_util.tree_leaves(state2.params["bg"])[0]
+    assert not np.allclose(np.asarray(b0), np.asarray(b1))
