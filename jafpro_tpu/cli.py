@@ -90,14 +90,47 @@ def cmd_train(args) -> None:
             b["prev_verts"] = np.tile(verts[None], (cfg.batch_size, 1, 1))
             b["tgt_verts"] = b["prev_verts"] + np.float32([0.02, 0, 0])
         else:
-            raise NotImplementedError(
-                "dataset training loop: pack shards with "
-                "jafpro_tpu.data.shardio and point JAFPRO_DATA_ROOT at them")
-        masks, prosrcs = zip(*[
-            sample_reference_curriculum(rng, cfg.maximum_ref_frames)
-            for _ in range(cfg.batch_size)])
-        b["ref_mask"] = np.stack(masks)
-        b["prosrc"] = np.asarray(prosrcs, np.int32)
+            from jafpro_tpu.data.dataset import (
+                list_videos, load_interval_sample, load_textonly_sample)
+
+            vids = list_videos(cfg.data_root, "train")
+            if not vids:
+                raise FileNotFoundError(
+                    f"no training videos under {cfg.data_root}/train "
+                    "(set JAFPRO_DATA_ROOT or use --synthetic)")
+            from jafpro_tpu.train.common import sample_reference_curriculum
+
+            samples = []
+            for _ in range(cfg.batch_size):
+                vid = vids[rng.randint(len(vids))]
+                if args.stage <= 2:
+                    s = load_textonly_sample(
+                        os.path.join(cfg.data_root, "train"), vid, rng,
+                        cfg.maximum_ref_frames, cfg.num_target)
+                else:
+                    s = load_interval_sample(
+                        os.path.join(cfg.data_root, "train"),
+                        os.path.join(cfg.smpl_root, "train"),
+                        os.path.join(cfg.mask_root, "train"),
+                        vid, rng, cfg.maximum_ref_frames, 1)
+                    # curriculum: subset of references + propagation source
+                    mask, prosrc = sample_reference_curriculum(
+                        rng, cfg.maximum_ref_frames)
+                    s["ref_mask"] = mask[None]
+                    s["prev_img"] = s["src_imgs"][prosrc][None]
+                    s["prev_cam"] = s["src_cams"][prosrc][None]
+                    s["prev_verts"] = s["src_verts"][prosrc][None]
+                    for k in ("src_imgs", "src_cams", "src_verts",
+                              "src_frame_indices"):
+                        s.pop(k)
+                samples.append(s)
+            b = {k: np.concatenate([s[k] for s in samples])
+                 for k in samples[0]}
+        if args.synthetic:
+            masks, prosrcs = zip(*[
+                sample_reference_curriculum(rng, cfg.maximum_ref_frames)
+                for _ in range(cfg.batch_size)])
+            b["ref_mask"] = np.stack(masks)
         batch = {k: jnp.asarray(v) for k, v in b.items()}
 
         with step_timer() as t:
