@@ -143,3 +143,66 @@ class ShardReader:
             self.close()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# DanceVideo -> packed shards
+# ---------------------------------------------------------------------------
+
+def interval_spec(num_refs: int = 4, image_size: int = 256,
+                  part_size: int = 200, num_parts: int = 24,
+                  num_verts: int = 6890) -> Spec:
+    """Record layout for stage-3/4 training samples."""
+    S, p, P, R = image_size, part_size, num_parts, num_refs
+    return [
+        ("src_parts", (R, P, p, p, 3), "float32"),
+        ("src_mask_parts", (R, P, p, p), "float32"),
+        ("tgt_iuv255", (1, S, S, 3), "float32"),
+        ("tgt_iuv", (1, S, S, 3), "float32"),
+        ("tgt_img", (1, S, S, 3), "float32"),
+        ("src_img_first", (1, S, S, 3), "float32"),
+        ("src_imgs", (R, S, S, 3), "float32"),
+        ("bg_incomplete", (1, S, S, 3), "float32"),
+        ("smpl_mask", (1, S, S, 1), "float32"),
+        ("face_bbox", (1, 4), "float32"),
+        ("src_cams", (R, 3), "float32"),
+        ("src_verts", (R, num_verts, 3), "float32"),
+        ("tgt_cam", (1, 3), "float32"),
+        ("tgt_verts", (1, num_verts, 3), "float32"),
+    ]
+
+
+def pack_dancevideo(
+    data_root: str, smpl_root: str, mask_root: str, out_dir: str,
+    mode: str = "train", samples_per_video: int = 4, num_refs: int = 4,
+    seed: int = 0, num_verts: int = 6890,
+) -> int:
+    """Pre-pack interval training samples into shards so training reads
+    through the native prefetching reader instead of per-step cv2 decodes
+    (the reference's throughput bottleneck, SURVEY.md §7)."""
+    import os
+
+    from jafpro_tpu.data.dataset import list_videos, load_interval_sample
+
+    rng = np.random.RandomState(seed)
+    spec = interval_spec(num_refs=num_refs, num_verts=num_verts)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def gen():
+        for vid in list_videos(data_root, mode):
+            for _ in range(samples_per_video):
+                s = load_interval_sample(
+                    os.path.join(data_root, mode),
+                    os.path.join(smpl_root, mode),
+                    os.path.join(mask_root, mode),
+                    vid, rng, num_refs, 1)
+                rec = {}
+                for name, shape, dtype in spec:
+                    v = s[name]
+                    if v.shape != tuple(shape):  # strip/add batch dims
+                        v = v.reshape(shape)
+                    rec[name] = v
+                yield rec
+
+    return pack_shard(
+        spec, gen(), os.path.join(out_dir, f"{mode}-00000.shard"))

@@ -116,3 +116,24 @@ def test_face_bbox_margins():
     bb = face_bbox_from_iuv(iuv)
     np.testing.assert_array_equal(bb, [68, 82, 48, 62])
     assert (face_bbox_from_iuv(np.zeros((256, 256, 3))) == 0).all()
+
+
+def test_pack_dancevideo_roundtrip(dance_root, tmp_path):
+    from jafpro_tpu.data.shardio import (
+        ShardReader, interval_spec, pack_dancevideo)
+
+    n = pack_dancevideo(
+        os.path.join(dance_root, "data"),
+        os.path.join(dance_root, "smpl"),
+        os.path.join(dance_root, "mask"),
+        str(tmp_path), mode="test", samples_per_video=2, num_refs=4,
+        num_verts=32)
+    assert n == 2
+    spec = interval_spec(num_refs=4, num_verts=32)
+    r = ShardReader(spec, [str(tmp_path / "test-00000.shard")], batch=2,
+                    shuffle=False, loop=False, threads=1)
+    b = next(r)
+    assert b["src_parts"].shape == (2, 4, 24, 200, 200, 3)
+    assert b["tgt_verts"].shape == (2, 1, 32, 3)
+    assert np.isfinite(b["src_parts"]).all()
+    r.close()
