@@ -82,13 +82,14 @@ class SMPLFlowEngine:
         return cls(faces=np.asarray(faces, np.int32), image_size=image_size, **kw)
 
     def _use_pallas(self) -> bool:
+        # "auto" currently resolves to the blocked-XLA kernel: on the
+        # remote-compile TPU runtime available here the Mosaic build of the
+        # Pallas kernel is an order of magnitude slower to compile, and the
+        # XLA kernel is already device-bound.  Set backend="pallas"
+        # explicitly to use the VMEM-resident kernel.
         if self.backend == "pallas":
             return True
-        if self.backend == "xla":
-            return False
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
+        return False
 
     def render_fim_wim(self, cam: jnp.ndarray, vertices: jnp.ndarray):
         """cam: (B, 3), vertices: (B, V, 3) ->
