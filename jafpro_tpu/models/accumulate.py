@@ -64,3 +64,47 @@ class AccumulateLSTM(nn.Module):
         # broadcast the mask across parts by expanding then vmapping axis 1
         mask_p = jnp.broadcast_to(ref_mask[:, None], (B, P) + ref_mask.shape[1:])
         return part_net(x, mask_p)
+
+
+class _PartAccumulatorGRU(nn.Module):
+    """GRU-fused variant of the per-part accumulator (the reference's
+    ``Accumulate_GRU`` / ``Accumulate_ModGRU`` ablations,
+    ``src/networks.py`` unused family; SURVEY.md §1 'dead code')."""
+
+    cell: str = "gru"  # "gru" | "modgru"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        from jafpro_tpu.models.conv_lstm import ConvGRU
+
+        B, N, H, W, C = x.shape
+        flat = x.reshape(B * N, H, W, C)
+        skips = PartEncoder(dtype=self.dtype)(flat)
+        fused = []
+        for level, s in enumerate(skips):
+            hs, ws, cs = s.shape[1:]
+            seq = s.reshape(B, N, hs, ws, cs)
+            _, h_last = ConvGRU(cs, cell=self.cell, dtype=self.dtype,
+                                name=f"gru{level}")(seq, mask)
+            fused.append(h_last)
+        return PartDecoder(dtype=self.dtype)(tuple(fused))
+
+
+class AccumulateGRU(nn.Module):
+    """Ablation: reference-count fusion by ConvGRU (or ModGRU) instead of
+    ConvLSTM.  Same interface as ``AccumulateLSTM``."""
+
+    cell: str = "gru"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, parts: jnp.ndarray, ref_mask: Optional[jnp.ndarray] = None):
+        B, N, P, H, W, C = parts.shape
+        if ref_mask is None:
+            ref_mask = jnp.ones((B, N), parts.dtype)
+        x = jnp.swapaxes(parts, 1, 2)
+        part_net = vmap_parts(_PartAccumulatorGRU, cell=self.cell,
+                              dtype=self.dtype)
+        mask_p = jnp.broadcast_to(ref_mask[:, None], (B, P) + ref_mask.shape[1:])
+        return part_net(x, mask_p)

@@ -181,3 +181,15 @@ def test_sample_layer_norm_matches_torch_reference():
         torch.from_numpy(beta).reshape(1, -1, 1, 1)
     ref = y.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_accumulate_gru_ablation():
+    from jafpro_tpu.models.accumulate import AccumulateGRU
+
+    for cell in ("gru", "modgru"):
+        m = AccumulateGRU(cell=cell)
+        parts = jax.random.normal(KEY, (1, 2, 4, 16, 16, 3))
+        mask = jnp.ones((1, 2))
+        params = m.init(KEY, parts, mask)
+        out = m.apply(params, parts, mask)
+        assert out.shape == (1, 4, 16, 16, 3)
