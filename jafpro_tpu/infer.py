@@ -37,6 +37,7 @@ class VideoGenerator:
 
     def _generate(self, params: Dict[str, Any], clip: Dict[str, jnp.ndarray]):
         pipe = self.pipe
+        engine = pipe.flow_engine
         inpainted, _ = pipe.prepare_textures(
             params, clip["src_parts"], clip["ref_mask"],
             clip["src_mask_parts"])
@@ -46,24 +47,44 @@ class VideoGenerator:
         src_imgs = clip["src_imgs"]             # (R, S, S, 3)
         cams = clip["cams"]                     # (T, 3)
         verts = clip["verts"]                   # (T, V, 3)
+        S = pipe.cfg.image_size
+
+        # The R source poses are frame-invariant: rasterize them once per
+        # clip instead of inside the 30-frame scan (the reference re-renders
+        # the source every frame, conv_pro_test.py:274) — halves the
+        # z-buffer work of the whole clip.
+        pro_index = jnp.clip(chosen, 0, cams.shape[0] - 1)  # (R,)
+        src_f2verts, _, _ = engine.render_fim_wim(
+            cams[pro_index], verts[pro_index])
+        src_f2pts_all = src_f2verts[..., 0:2]
+        src_f2pts_all = src_f2pts_all.at[..., 1].multiply(-1.0)  # (R,F,3,2)
+
+        from jafpro_tpu.data.texture import texture_warp
+        from jafpro_tpu.geometry.flow import cal_bc_transform
 
         def frame_step(carry, xs):
             i, iuv255, iuv, smpl_mask = xs
             dist = jnp.abs(i - chosen)
             src_pro = jnp.argmin(dist)
             prev_img = src_imgs[src_pro][None]
-            pro_index = jnp.clip(chosen[src_pro], 0, cams.shape[0] - 1)
-            out = pipe.generate_frame(
-                params, inpainted, bg_out,
-                iuv255[None], iuv[None], smpl_mask[None], prev_img,
-                cams[pro_index][None], verts[pro_index][None],
-                cams[i][None], verts[i][None],
-            )
+
+            warped = texture_warp(inpainted, iuv255[None])
+            refined, fg_mask = pipe.refine.apply(params["refine"], warped, S)
+            fusion = refined * fg_mask + bg_out * (1.0 - fg_mask)
+
+            _, tsf_fim, tsf_wim = engine.render_fim_wim(
+                cams[i][None], verts[i][None])
+            flow = cal_bc_transform(
+                src_f2pts_all[src_pro][None], tsf_fim, tsf_wim)
+            tsf = engine.warp_image(prev_img, flow)
+
+            out = pipe.pro.apply(
+                params["pro"], fusion, tsf, iuv[None], smpl_mask[None])
             return carry, {
-                "final": out["final"][0],
-                "coarse": out["fusion"][0],
+                "final": out["pred_target"][0],
+                "coarse": fusion[0],
                 "mask": out["weight"][0],
-                "tsf": out["tsf"][0],
+                "tsf": tsf[0],
             }
 
         T = clip["tgt_iuv255"].shape[0]
