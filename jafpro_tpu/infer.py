@@ -29,7 +29,27 @@ from jafpro_tpu.pipeline import JAFProPipeline
 
 @dataclasses.dataclass
 class VideoGenerator:
+    """``frame_batch`` frames are generated together per scan step: frames
+    are independent given the clip textures (the propagation source is a
+    *reference* frame, not the previous output — ``conv_pro_test.py:258``),
+    so batching them fills the MXU far better than the reference's
+    frame-by-frame loop.  Propagation normalization uses per-sample
+    statistics, which equals the reference's batch-1 behavior exactly, so
+    results are identical for any ``frame_batch``."""
+
     pipe: JAFProPipeline
+    frame_batch: int = 6
+
+    def __post_init__(self):
+        # propagation with per-sample norm shares the training parameters
+        # (identical tree structure, different normalization axes)
+        from jafpro_tpu.models.propagation import Propagation3DFlowNet
+
+        src = self.pipe.pro
+        self._pro_infer = Propagation3DFlowNet(
+            ngf=src.ngf, n_downsampling=src.n_downsampling,
+            n_blocks=src.n_blocks, use_mask=src.use_mask,
+            use_iuv=src.use_iuv, per_sample_norm=True, dtype=src.dtype)
 
     @functools.cached_property
     def _jitted(self):
@@ -62,36 +82,47 @@ class VideoGenerator:
         from jafpro_tpu.data.texture import texture_warp
         from jafpro_tpu.geometry.flow import cal_bc_transform
 
+        T = clip["tgt_iuv255"].shape[0]
+        fb = self.frame_batch
+        while T % fb:  # largest divisor of T not above frame_batch
+            fb -= 1
+        inpainted_b = jnp.broadcast_to(
+            inpainted, (fb,) + inpainted.shape[1:])
+        bg_b = jnp.broadcast_to(bg_out, (fb,) + bg_out.shape[1:])
+
         def frame_step(carry, xs):
-            i, iuv255, iuv, smpl_mask = xs
-            dist = jnp.abs(i - chosen)
-            src_pro = jnp.argmin(dist)
-            prev_img = src_imgs[src_pro][None]
+            i, iuv255, iuv, smpl_mask = xs  # leading axis fb
+            dist = jnp.abs(i[:, None] - chosen[None, :])  # (fb, R)
+            src_pro = jnp.argmin(dist, axis=1)            # (fb,)
+            prev_img = src_imgs[src_pro]                  # (fb, S, S, 3)
 
-            warped = texture_warp(inpainted, iuv255[None])
+            warped = texture_warp(inpainted_b, iuv255)
             refined, fg_mask = pipe.refine.apply(params["refine"], warped, S)
-            fusion = refined * fg_mask + bg_out * (1.0 - fg_mask)
+            fusion = refined * fg_mask + bg_b * (1.0 - fg_mask)
 
-            _, tsf_fim, tsf_wim = engine.render_fim_wim(
-                cams[i][None], verts[i][None])
+            _, tsf_fim, tsf_wim = engine.render_fim_wim(cams[i], verts[i])
             flow = cal_bc_transform(
-                src_f2pts_all[src_pro][None], tsf_fim, tsf_wim)
+                src_f2pts_all[src_pro], tsf_fim, tsf_wim)
             tsf = engine.warp_image(prev_img, flow)
 
-            out = pipe.pro.apply(
-                params["pro"], fusion, tsf, iuv[None], smpl_mask[None])
+            out = self._pro_infer.apply(
+                params["pro"], fusion, tsf, iuv, smpl_mask)
             return carry, {
-                "final": out["pred_target"][0],
-                "coarse": fusion[0],
-                "mask": out["weight"][0],
-                "tsf": tsf[0],
+                "final": out["pred_target"],
+                "coarse": fusion,
+                "mask": out["weight"],
+                "tsf": tsf,
             }
 
-        T = clip["tgt_iuv255"].shape[0]
-        xs = (jnp.arange(T), clip["tgt_iuv255"], clip["tgt_iuv"],
-              clip["smpl_mask"])
+        def fold(x):
+            return x.reshape((T // fb, fb) + x.shape[1:])
+
+        xs = (fold(jnp.arange(T)), fold(clip["tgt_iuv255"]),
+              fold(clip["tgt_iuv"]), fold(clip["smpl_mask"]))
         _, frames = jax.lax.scan(frame_step, None, xs)
-        return frames
+        # (T//fb, fb, ...) -> (T, ...)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((T,) + x.shape[2:]), frames)
 
     def __call__(self, params, clip) -> Dict[str, np.ndarray]:
         """clip fields:

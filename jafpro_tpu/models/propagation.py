@@ -25,33 +25,43 @@ from jafpro_tpu.ops.sampling import resize_bilinear
 
 class BatchStatsNorm(nn.Module):
     """BatchNorm that always normalizes with current-batch statistics
-    (per channel over B, H, W) — torch train-mode semantics."""
+    (per channel over B, H, W) — torch train-mode semantics.
+
+    ``per_sample=True`` computes statistics over (H, W) only: identical to
+    batch-size-1 train-mode BatchNorm per item, which is exactly the
+    reference's inference behavior (batch 1, never .eval()).  This lets the
+    TPU inference path batch independent frames without coupling their
+    normalization statistics.  Parameter shapes are identical either way.
+    """
 
     features: int
     eps: float = 1e-5
+    per_sample: bool = False
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
+        axes = (1, 2) if self.per_sample else (0, 1, 2)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.var(x32, axis=axes, keepdims=True)
         y = (x32 - mean) / jnp.sqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
 
 class _ResnetBlock(nn.Module):
     features: int
+    per_sample_norm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         y = ReflectConv(self.features, 3, dtype=self.dtype)(x)
-        y = BatchStatsNorm(self.features)(y)
+        y = BatchStatsNorm(self.features, per_sample=self.per_sample_norm)(y)
         y = nn.relu(y)
         y = ReflectConv(self.features, 3, dtype=self.dtype)(y)
-        y = BatchStatsNorm(self.features)(y)
+        y = BatchStatsNorm(self.features, per_sample=self.per_sample_norm)(y)
         return x + y
 
 
@@ -59,25 +69,27 @@ class CompositeWeightUnet(nn.Module):
     ngf: int = 32
     n_downsampling: int = 2
     n_blocks: int = 3
+    per_sample_norm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         ngf = self.ngf
+        ps = self.per_sample_norm
         x = ReflectConv(ngf, 7, dtype=self.dtype)(x)
-        x = BatchStatsNorm(ngf)(x)
+        x = BatchStatsNorm(ngf, per_sample=ps)(x)
         x = nn.relu(x)
         for i in range(self.n_downsampling):
             mult = 2 ** i
             x = nn.Conv(ngf * mult * 2, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
-            x = BatchStatsNorm(ngf * mult * 2)(x)
+            x = BatchStatsNorm(ngf * mult * 2, per_sample=ps)(x)
             x = nn.relu(x)
         mult = 2 ** self.n_downsampling
         for _ in range(self.n_blocks - self.n_blocks // 2):
-            x = _ResnetBlock(ngf * mult, dtype=self.dtype)(x)
+            x = _ResnetBlock(ngf * mult, per_sample_norm=ps, dtype=self.dtype)(x)
         for _ in range(self.n_blocks // 2):
-            x = _ResnetBlock(ngf * mult, dtype=self.dtype)(x)
+            x = _ResnetBlock(ngf * mult, per_sample_norm=ps, dtype=self.dtype)(x)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             B, H, W, _ = x.shape
@@ -86,7 +98,7 @@ class CompositeWeightUnet(nn.Module):
             x = resize_bilinear(x, (H * 2, W * 2), align_corners=False)
             x = nn.Conv(ngf * mult // 2, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype)(x)
-            x = BatchStatsNorm(ngf * mult // 2)(x)
+            x = BatchStatsNorm(ngf * mult // 2, per_sample=ps)(x)
             x = nn.relu(x)
         x = ReflectConv(1, 7, dtype=self.dtype)(x)
         return nn.sigmoid(x)
@@ -102,6 +114,7 @@ class Propagation3DFlowNet(nn.Module):
     n_blocks: int = 3
     use_mask: bool = True
     use_iuv: bool = True
+    per_sample_norm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -113,7 +126,8 @@ class Propagation3DFlowNet(nn.Module):
             feats.append(tgt_iuv)
         x = jnp.concatenate(feats, axis=-1)
         weight = CompositeWeightUnet(
-            self.ngf, self.n_downsampling, self.n_blocks, dtype=self.dtype
+            self.ngf, self.n_downsampling, self.n_blocks,
+            per_sample_norm=self.per_sample_norm, dtype=self.dtype
         )(x)
         pred = fake_tgt * weight + tsf_image * (1.0 - weight)
         return {"pred_target": pred, "weight": weight}

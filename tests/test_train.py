@@ -146,3 +146,28 @@ def test_stage3_step(setup):
     b0 = jax.tree_util.tree_leaves(state.params["bg"])[0]
     b1 = jax.tree_util.tree_leaves(state2.params["bg"])[0]
     assert not np.allclose(np.asarray(b0), np.asarray(b1))
+
+
+def test_video_generator_frame_batch_invariance(setup):
+    """Per-sample propagation norm makes frame batching exact: outputs for
+    frame_batch=1 and frame_batch=3 must match."""
+    pipe, params, batch = setup
+    verts, _ = synthetic_quad_mesh(6)
+    T, R = 3, 2
+    clip = {
+        "src_parts": batch["src_parts"],
+        "src_mask_parts": batch["src_mask_parts"],
+        "ref_mask": batch["ref_mask"],
+        "bg_incomplete": batch["bg_incomplete"],
+        "src_imgs": jnp.tile(batch["prev_img"], (R, 1, 1, 1)),
+        "chosen_frames": jnp.asarray([0, 2], jnp.int32),
+        "tgt_iuv255": jnp.tile(batch["tgt_iuv255"], (T, 1, 1, 1)),
+        "tgt_iuv": jnp.tile(batch["tgt_iuv"], (T, 1, 1, 1)),
+        "smpl_mask": jnp.tile(batch["smpl_mask"], (T, 1, 1, 1)),
+        "cams": jnp.tile(jnp.asarray([[1.0, 0, 0]]), (T, 1)),
+        "verts": jnp.tile(jnp.asarray(verts)[None], (T, 1, 1)),
+    }
+    out1 = VideoGenerator(pipe, frame_batch=1)(params, clip)
+    out3 = VideoGenerator(pipe, frame_batch=3)(params, clip)
+    np.testing.assert_allclose(np.asarray(out1["final"]),
+                               np.asarray(out3["final"]), atol=2e-5)
