@@ -73,6 +73,9 @@ class Config:
     rasterizer_face_chunk: int = 1024
     mesh_data_axis: str = "data"
     donate_train_state: bool = True
+    # rematerialize the texture-network forward in training backward passes
+    # (trades ~30% recompute for the 24-part activation memory)
+    remat_training: bool = True
 
     isTrain: bool = True
 

@@ -43,7 +43,13 @@ def stage4_lrs():
 def _generator_forward(pipe: JAFProPipeline, params, batch, *,
                        with_propagation: bool):
     """Shared G path; returns (final, aux)."""
-    inpainted, _ = pipe.prepare_textures(
+    prepare = pipe.prepare_textures
+    if pipe.cfg.remat_training:
+        # the 24-part encoder/LSTM activations dominate training memory;
+        # recompute them in the backward pass (jax.checkpoint)
+        prepare = jax.checkpoint(
+            lambda p, sp, rm, smp: pipe.prepare_textures(p, sp, rm, smp))
+    inpainted, _ = prepare(
         params, batch["src_parts"], batch["ref_mask"],
         batch["src_mask_parts"])
     bg_out = pipe.background(params, batch["bg_incomplete"])
