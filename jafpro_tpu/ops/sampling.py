@@ -32,13 +32,15 @@ def grid_sample(
     grid: jnp.ndarray,
     padding_mode: str = "zeros",
     mode: str = "bilinear",
+    pixel_coords: bool = False,
 ) -> jnp.ndarray:
     """Bilinear (or nearest) sampling of ``image`` at ``grid`` locations.
 
     Args:
       image: (B, H, W, C).
-      grid:  (B, Hg, Wg, 2) normalized coords; ``grid[..., 0]`` is x (width),
-             ``grid[..., 1]`` is y (height), both in [-1, 1].
+      grid:  (B, Hg, Wg, 2); ``grid[..., 0]`` is x (width), ``grid[..., 1]``
+             is y (height).  Normalized [-1, 1] coords by default;
+             ``pixel_coords=True`` takes raw pixel coordinates instead.
       padding_mode: "zeros" or "border".
     Returns:
       (B, Hg, Wg, C)
@@ -46,8 +48,12 @@ def grid_sample(
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
     B, H, W, C = image.shape
-    x = _unnormalize(grid[..., 0], W)
-    y = _unnormalize(grid[..., 1], H)
+    if pixel_coords:
+        x = grid[..., 0]
+        y = grid[..., 1]
+    else:
+        x = _unnormalize(grid[..., 0], W)
+        y = _unnormalize(grid[..., 1], H)
 
     if mode == "nearest":
         # torch 'nearest' rounds half away from zero-ish via floor(x+0.5)
