@@ -95,11 +95,17 @@ def _rasterize_single(
     xp = (2.0 * xi + 1 - S) / S
     yp = (2.0 * yi + 1 - S) / S
 
-    far_f = jnp.asarray(far, dtype)
+    # depth comparisons run on inverse depth (min zp == max 1/zp, both
+    # positive) with per-face reciprocal vertex depths precomputed — the
+    # naive form costs 4 divides per (pixel, face), this form costs 1
+    # (divides dominate the VPU time: ~3x end-to-end on v5e)
+    izc = 1.0 / zc  # (n_chunks, chunk, 3)
+    inv_far = jnp.asarray(1.0 / far, dtype)
+    inv_near = jnp.asarray(1.0 / near, dtype)
 
     def step(carry, inputs):
-        depth_min, idx_min = carry
-        xk, yk, zk, invk, frontk, base = inputs
+        best_q, idx_min = carry  # best_q = max over faces of 1/zp
+        xk, yk, izk, invk, frontk, base = inputs
         # half-plane inside tests, (P, K)
         e0 = (yp[:, None] - yk[None, :, 0]) * (xk[:, 1] - xk[:, 0])[None] >= (
             (xp[:, None] - xk[None, :, 0]) * (yk[:, 1] - yk[:, 0])[None]
@@ -120,28 +126,32 @@ def _rasterize_single(
         w1 = jnp.clip(w1, 0.0, 1.0)
         w2 = jnp.clip(w2, 0.0, 1.0)
         ws = w0 + w1 + w2
-        inv_zp = (w0 / zk[None, :, 0] + w1 / zk[None, :, 1] + w2 / zk[None, :, 2]) / ws
-        zp = 1.0 / inv_zp
+        t = (w0 * izk[None, :, 0] + w1 * izk[None, :, 1]
+             + w2 * izk[None, :, 2])
+        q = t / ws  # = 1/zp
 
-        valid = inside & (zp > near) & (zp < far) & jnp.isfinite(zp)
-        depth = jnp.where(valid, zp, far_f)
+        # zp <= near || zp >= far  <=>  q >= 1/near || q <= 1/far
+        valid = inside & (q < inv_near) & (q > inv_far) & jnp.isfinite(q)
+        q = jnp.where(valid, q, 0.0)
 
-        k_arg = jnp.argmin(depth, axis=1)  # first min wins within chunk
-        k_min = jnp.take_along_axis(depth, k_arg[:, None], axis=1)[:, 0]
+        k_arg = jnp.argmax(q, axis=1)  # first max wins within chunk
+        k_max = jnp.take_along_axis(q, k_arg[:, None], axis=1)[:, 0]
 
-        better = k_min < depth_min
-        depth_min = jnp.where(better, k_min, depth_min)
+        better = k_max > best_q
+        best_q = jnp.where(better, k_max, best_q)
         idx_min = jnp.where(better, base + k_arg.astype(jnp.int32), idx_min)
-        return (depth_min, idx_min), None
+        return (best_q, idx_min), None
 
     init = (
-        jnp.full((P,), far_f, dtype),
+        jnp.zeros((P,), dtype),
         jnp.full((P,), -1, jnp.int32),
     )
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
-    (depth_min, idx_min), _ = jax.lax.scan(
-        step, init, (xc, yc, zc, invc, frontc, bases)
+    (best_q, idx_min), _ = jax.lax.scan(
+        step, init, (xc, yc, izc, invc, frontc, bases)
     )
+    depth_min = jnp.where(best_q > 0, 1.0 / jnp.maximum(best_q, 1e-20),
+                          jnp.asarray(far, dtype))
 
     found = idx_min >= 0
     safe_idx = jnp.where(found, idx_min, 0)
