@@ -38,7 +38,10 @@ class VideoGenerator:
     results are identical for any ``frame_batch``."""
 
     pipe: JAFProPipeline
-    frame_batch: int = 6
+    # measured on v5e (TUNING.md): the scanned per-frame schedule overlaps
+    # better than frame batching while the rasterizer dominates; raise this
+    # once the z-buffer is VMEM-resident
+    frame_batch: int = 1
 
     def __post_init__(self):
         # propagation with per-sample norm shares the training parameters

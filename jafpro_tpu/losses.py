@@ -78,3 +78,19 @@ def bce(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarra
     """Binary cross entropy on sigmoid outputs (torch nn.BCELoss)."""
     p = jnp.clip(pred, eps, 1.0 - eps)
     return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+
+
+def bce_masked(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Per-sample-masked BCE: mean over the valid samples only.
+
+    The reference drops samples with empty face bboxes from the face-GAN
+    lists (``train/4:338-353``); with static shapes we mask them instead.
+    """
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    per = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    per = jnp.mean(per.reshape(per.shape[0], -1), axis=1)
+    v = valid.astype(per.dtype)
+    return jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)

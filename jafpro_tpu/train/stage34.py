@@ -25,7 +25,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from jafpro_tpu.losses import bce, vgg_l1_loss
+from jafpro_tpu.losses import bce, bce_masked, vgg_l1_loss
 from jafpro_tpu.pipeline import JAFProPipeline, crop_faces
 from jafpro_tpu.train.common import TrainState
 
@@ -87,14 +87,17 @@ def _make_gan_step(pipe: JAFProPipeline, *, with_propagation: bool,
         err_g = bce(pipe.D.apply(d_params, d_in),
                     jnp.ones((final.shape[0], 1), final.dtype))
 
+        face_valid = batch["face_bbox"][:, 1] > batch["face_bbox"][:, 0]
         face_pred = crop_faces(final, batch["face_bbox"], face_size)
         if detach_face_g:
             face_pred = jax.lax.stop_gradient(face_pred)
         face_iuv = crop_faces(batch["tgt_iuv"], batch["face_bbox"],
                               face_size, mode="nearest")
         f_in = jnp.concatenate([face_pred, face_iuv], axis=-1)
-        f_err_g = bce(pipe.FD.apply(fd_params, f_in),
-                      jnp.ones((final.shape[0], 1), final.dtype))
+        # samples without face pixels drop out (reference skips them)
+        f_err_g = bce_masked(pipe.FD.apply(fd_params, f_in),
+                             jnp.ones((final.shape[0], 1), final.dtype),
+                             face_valid)
 
         total = recon + 2.0 * err_g + 2.0 * f_err_g
         metrics = {"loss": total, "recon": recon, "G": err_g, "FG": f_err_g}
@@ -122,11 +125,15 @@ def _make_gan_step(pipe: JAFProPipeline, *, with_propagation: bool,
         metrics: Dict[str, Any] = {}
 
         # ---- face discriminator ----
+        face_valid = batch["face_bbox"][:, 1] > batch["face_bbox"][:, 0]
+
         def fd_loss(fd_params):
-            real = bce(pipe.FD.apply(
-                fd_params, jnp.concatenate([face_real, face_iuv], -1)), ones)
-            fake = bce(pipe.FD.apply(
-                fd_params, jnp.concatenate([face_fake, face_iuv], -1)), zeros)
+            real = bce_masked(pipe.FD.apply(
+                fd_params, jnp.concatenate([face_real, face_iuv], -1)), ones,
+                face_valid)
+            fake = bce_masked(pipe.FD.apply(
+                fd_params, jnp.concatenate([face_fake, face_iuv], -1)), zeros,
+                face_valid)
             return real + fake
 
         for _ in range(face_d_steps):
