@@ -70,7 +70,7 @@ class Config:
     compute_dtype: str = "bfloat16"   # conv/matmul activations dtype
     param_dtype: str = "float32"
     rasterizer_backend: str = "auto"  # "auto" | "xla" | "pallas"
-    rasterizer_face_chunk: int = 1024
+    rasterizer_face_chunk: int = 2048
     mesh_data_axis: str = "data"
     donate_train_state: bool = True
     # rematerialize the texture-network forward in training backward passes

@@ -182,7 +182,7 @@ def rasterize_fim_wim(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 25.0,
-    chunk: int = 512,
+    chunk: int = 2048,
     flip_y: bool = True,
     return_depth: bool = False,
 ):

@@ -65,3 +65,15 @@ def data_parallel_jit(fn, mesh: Mesh, donate_state: bool = True):
 
     jitted = jax.jit(fn, donate_argnums=(0,) if donate_state else ())
     return wrapper
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host setup: ``jax.distributed.initialize`` (ICI within a slice,
+    DCN across slices — the runtime provides the collectives; SURVEY §2.7).
+    No-op if already initialized or single-process."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment

@@ -208,3 +208,20 @@ def test_conv_gru_variants():
         v = m.init(jax.random.PRNGKey(1), xs)
         ys, h = m.apply(v, xs)
         assert ys.shape == (1, 3, 8, 8, 6) and h.shape == (1, 8, 8, 6)
+
+
+def test_lpips():
+    from jafpro_tpu.lpips import LPIPS, lpips_pair
+
+    m = LPIPS()
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32)) * 2 - 1
+    variables = m.init(jax.random.PRNGKey(0), x, x)
+    d_same = np.asarray(m.apply(variables, x, x))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-5)
+    y = jnp.clip(x + 0.5 * jnp.asarray(
+        RNG.randn(1, 64, 64, 3).astype(np.float32)), -1, 1)
+    d = float(m.apply(variables, x, y)[0])
+    assert d > 1e-4
+    # stack helper
+    pred = RNG.rand(2, 64, 64, 3).astype(np.float32)
+    assert lpips_pair(variables, pred, pred) < 1e-5
