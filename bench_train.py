@@ -1,0 +1,71 @@
+"""Training throughput: one full stage-4 step (batch 4, 256x256, 24x200x200
+texture parts, real SMPL topology) on the available device.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} with
+iterations/sec (the reference's stage-4 configuration trains batch 4 on one
+GPU; BASELINE.md pins no published number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jafpro_tpu.config import Config, default_smpl_faces_path
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+    from jafpro_tpu.pipeline import JAFProPipeline
+    from jafpro_tpu.train import TrainState, make_stage4_step
+    from jafpro_tpu.train.common import synthetic_batch, synthetic_quad_mesh
+    from jafpro_tpu.train.stage34 import stage4_lrs
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
+    cfg = Config(compute_dtype="bfloat16", maximum_ref_frames=4)
+    path = default_smpl_faces_path()
+    if path is not None:
+        faces = np.load(path).astype(np.int32)
+        num_verts = int(faces.max()) + 1
+    else:
+        verts, faces = synthetic_quad_mesh(64)
+        num_verts = verts.shape[0]
+    engine = SMPLFlowEngine.create(
+        faces=faces, image_size=cfg.image_size,
+        chunk=cfg.rasterizer_face_chunk)
+    pipe = JAFProPipeline(cfg, flow_engine=engine)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    state = TrainState.create(params, stage4_lrs())
+
+    rng = np.random.RandomState(0)
+    b = synthetic_batch(rng, batch=B, num_refs=4, part_size=cfg.part_size,
+                        image_size=cfg.image_size, num_verts=num_verts)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    step = jax.jit(make_stage4_step(pipe), donate_argnums=(0,))
+
+    state, metrics = step(state, batch)
+    _ = np.asarray(metrics["loss"])  # compile + warm (full host fetch)
+
+    n = int(os.environ.get("BENCH_ITERS", "6"))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch)
+    _ = np.asarray(metrics["loss"])  # step chain is sequential by state
+    dt = (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "metric": f"stage4_train_iters_per_sec_batch{B}_256px",
+        "value": round(1.0 / dt, 4),
+        "unit": "iters/s",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

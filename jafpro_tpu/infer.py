@@ -41,7 +41,7 @@ class VideoGenerator:
     # measured on v5e (TUNING.md): the scanned per-frame schedule overlaps
     # better than frame batching while the rasterizer dominates; raise this
     # once the z-buffer is VMEM-resident
-    frame_batch: int = 3
+    frame_batch: int = 1
 
     def __post_init__(self):
         # propagation with per-sample norm shares the training parameters
