@@ -69,7 +69,8 @@ def vgg_l1_loss(vgg_apply, vgg_params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nd
     import jax
 
     xp, yp = vgg_preprocess(x), vgg_preprocess(y)
-    fx = vgg_apply(vgg_params, xp)
+    # recompute VGG features in the backward pass (activation memory)
+    fx = jax.checkpoint(lambda a: vgg_apply(vgg_params, a))(xp)
     fy = jax.lax.stop_gradient(vgg_apply(vgg_params, yp))
     return vgg_feature_l1(fx, fy) + l1(xp, yp)
 

@@ -136,9 +136,14 @@ class JAFProPipeline:
         warped = texture_warp(inpainted_parts, tgt_iuv255)
         refined, fg_mask = self.refine.apply(params["refine"], warped, S)
         fusion = refined * fg_mask + bg_output * (1.0 - fg_mask)
-        tsf = self.flow_engine(
+        # The SMPL-flow warp has no trainable parameters upstream (vertices
+        # and the previous frame come from the dataset; the reference's
+        # rasterizer is likewise forward-only on this path — SURVEY §2.4
+        # #20), so cut autodiff here: without this, grad saves the
+        # rasterizer's (pixels x face-chunk) scan residuals (tens of GB).
+        tsf = jax.lax.stop_gradient(self.flow_engine(
             prev_img, prev_cam, prev_verts, tgt_cam, tgt_verts
-        )
+        ))
         out = self.pro.apply(
             params["pro"], fusion, tsf, tgt_iuv, smpl_mask
         )

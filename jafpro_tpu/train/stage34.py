@@ -61,7 +61,13 @@ def _generator_forward(pipe: JAFProPipeline, params, batch, *,
         refined, fg = pipe.refine.apply(params["refine"], warped, S)
         fusion = refined * fg + bg_out * (1.0 - fg)
         return fusion, {"fusion": fusion, "fg_mask": fg}
-    out = pipe.generate_frame(
+    gen_frame = pipe.generate_frame
+    if pipe.cfg.remat_training:
+        gen_frame = jax.checkpoint(
+            pipe.generate_frame,
+            static_argnums=(),
+        )
+    out = gen_frame(
         params, inpainted, jax.lax.stop_gradient(bg_out),
         batch["tgt_iuv255"], batch["tgt_iuv"], batch["smpl_mask"],
         batch["prev_img"], batch["prev_cam"], batch["prev_verts"],
