@@ -3,10 +3,12 @@ the N reference atlases by ConvLSTMs.
 
 Re-design of ``Accumulate_LSTM[_no_loss]`` + ``Downsampler_convLSTM``
 (reference ``src/networks.py:1290-1357, 1593-1662``): the 24-part Python loop
-becomes a parts-axis vmap with stacked per-part parameters; the N-reference
-recurrence is a scanned fused-gate ConvLSTM; a per-reference validity mask
-replaces variable-length reference lists (the reference's curriculum zeroes
-masks instead of reshaping — same semantics, static shapes).
+becomes grouped convolutions over part-major packed channels (see
+``models/parts.py`` — numerically identical to 24 independent networks,
+full TPU lanes); the N-reference recurrence is a scanned fused-gate grouped
+ConvLSTM; a per-reference validity mask replaces variable-length reference
+lists (the reference's curriculum zeroes masks instead of reshaping — same
+semantics, static shapes).
 """
 
 from __future__ import annotations
@@ -16,31 +18,9 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from jafpro_tpu.models.conv_lstm import ConvLSTM
-from jafpro_tpu.models.parts import ENC_NC, PartDecoder, PartEncoder, vmap_parts
-
-
-class _PartAccumulator(nn.Module):
-    """One part: (B, N, h, w, 3) references + (B, N) mask -> (B, h, w, 3)."""
-
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, mask):
-        B, N, H, W, C = x.shape
-        flat = x.reshape(B * N, H, W, C)
-        skips = PartEncoder(dtype=self.dtype)(flat)
-
-        fused = []
-        for level, s in enumerate(skips):
-            hs, ws, cs = s.shape[1:]
-            seq = s.reshape(B, N, hs, ws, cs)
-            _, (h_last, _) = ConvLSTM(cs, dtype=self.dtype, name=f"lstm{level}")(
-                seq, mask
-            )
-            fused.append(h_last)
-
-        return PartDecoder(dtype=self.dtype)(tuple(fused))
+from jafpro_tpu.models.conv_lstm import GroupedConvLSTM
+from jafpro_tpu.models.parts import (
+    ENC_NC, PartDecoder, PartEncoder, pack_parts, unpack_parts)
 
 
 class AccumulateLSTM(nn.Module):
@@ -58,53 +38,66 @@ class AccumulateLSTM(nn.Module):
         B, N, P, H, W, C = parts.shape
         if ref_mask is None:
             ref_mask = jnp.ones((B, N), parts.dtype)
-        x = jnp.swapaxes(parts, 1, 2)  # (B, P, N, h, w, C)
 
-        part_net = vmap_parts(_PartAccumulator, dtype=self.dtype)
-        # broadcast the mask across parts by expanding then vmapping axis 1
-        mask_p = jnp.broadcast_to(ref_mask[:, None], (B, P) + ref_mask.shape[1:])
-        return part_net(x, mask_p)
+        # (B*N, H, W, P*C) packed part-major
+        x = pack_parts(parts.reshape(B * N, P, H, W, C))
+        skips = PartEncoder(parts=P, dtype=self.dtype)(x)
 
-
-class _PartAccumulatorGRU(nn.Module):
-    """GRU-fused variant of the per-part accumulator (the reference's
-    ``Accumulate_GRU`` / ``Accumulate_ModGRU`` ablations,
-    ``src/networks.py`` unused family; SURVEY.md §1 'dead code')."""
-
-    cell: str = "gru"  # "gru" | "modgru"
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, mask):
-        from jafpro_tpu.models.conv_lstm import ConvGRU
-
-        B, N, H, W, C = x.shape
-        flat = x.reshape(B * N, H, W, C)
-        skips = PartEncoder(dtype=self.dtype)(flat)
         fused = []
         for level, s in enumerate(skips):
-            hs, ws, cs = s.shape[1:]
-            seq = s.reshape(B, N, hs, ws, cs)
-            _, h_last = ConvGRU(cs, cell=self.cell, dtype=self.dtype,
-                                name=f"gru{level}")(seq, mask)
+            hs, ws = s.shape[1:3]
+            seq = s.reshape(B, N, hs, ws, s.shape[-1])
+            h_last = GroupedConvLSTM(
+                parts=P, hidden_dim=ENC_NC[2 * level], dtype=self.dtype,
+                name=f"lstm{level}")(seq, ref_mask)
             fused.append(h_last)
-        return PartDecoder(dtype=self.dtype)(tuple(fused))
+
+        out = PartDecoder(parts=P, dtype=self.dtype)(tuple(fused))
+        return unpack_parts(out, P)
 
 
 class AccumulateGRU(nn.Module):
     """Ablation: reference-count fusion by ConvGRU (or ModGRU) instead of
-    ConvLSTM.  Same interface as ``AccumulateLSTM``."""
+    ConvLSTM (the reference's unused ``Accumulate_GRU``/``Accumulate_ModGRU``
+    family).  Same interface as ``AccumulateLSTM``; parts run under vmap with
+    stacked per-part parameters."""
 
     cell: str = "gru"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, parts: jnp.ndarray, ref_mask: Optional[jnp.ndarray] = None):
+        import jax
+
+        from jafpro_tpu.models.conv_lstm import ConvGRU
+
         B, N, P, H, W, C = parts.shape
         if ref_mask is None:
             ref_mask = jnp.ones((B, N), parts.dtype)
-        x = jnp.swapaxes(parts, 1, 2)
-        part_net = vmap_parts(_PartAccumulatorGRU, cell=self.cell,
-                              dtype=self.dtype)
-        mask_p = jnp.broadcast_to(ref_mask[:, None], (B, P) + ref_mask.shape[1:])
-        return part_net(x, mask_p)
+
+        class _PartGRU(nn.Module):
+            cell: str
+            dtype: Optional[jnp.dtype]
+
+            @nn.compact
+            def __call__(self, x, mask):
+                b, n, h, w, c = x.shape
+                flat = x.reshape(b * n, h, w, c)
+                # single-part encoder via grouped machinery with parts=1
+                sk = PartEncoder(parts=1, dtype=self.dtype)(flat)
+                fused = []
+                for level, s in enumerate(sk):
+                    hs, ws = s.shape[1:3]
+                    seq = s.reshape(b, n, hs, ws, s.shape[-1])
+                    _, h_last = ConvGRU(s.shape[-1], cell=self.cell,
+                                        dtype=self.dtype,
+                                        name=f"gru{level}")(seq, mask)
+                    fused.append(h_last)
+                return PartDecoder(parts=1, dtype=self.dtype)(tuple(fused))
+
+        net = nn.vmap(
+            _PartGRU, in_axes=(1, None), out_axes=1,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+        )(cell=self.cell, dtype=self.dtype)
+        x = jnp.swapaxes(parts, 1, 2)  # (B, P, N, h, w, C)
+        return net(x, ref_mask)

@@ -161,3 +161,76 @@ class ConvGRU(nn.Module):
         inputs = (xs, mask) if mask is not None else xs
         h, ys = cell(init, inputs)
         return ys, h
+
+
+class GroupedConvLSTM(nn.Module):
+    """P independent single-layer ConvLSTMs over packed part-major channels.
+
+    xs: (B, T, H, W, P*C); mask (B, T).  One grouped 4-gate conv per step
+    (``feature_group_count=P``) — numerically identical to P separate cells
+    (reference ``src/convLSTM.py``), lanes stay full on TPU.
+    Returns the final hidden state (B, H, W, P*hidden).
+    """
+
+    parts: int
+    hidden_dim: int  # per part
+    kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs, mask: Optional[jnp.ndarray] = None):
+        from jafpro_tpu.models.parts import part_cat
+
+        B, T, H, W, _ = xs.shape
+        P, D = self.parts, self.hidden_dim
+
+        class _Cell(nn.Module):
+            parts: int
+            hidden: int
+            kernel: int
+            dtype: Optional[jnp.dtype]
+
+            @nn.compact
+            def __call__(self, state, inputs):
+                h_prev, c_prev = state
+                x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
+                combined = part_cat(x, h_prev, self.parts)
+                gates = nn.Conv(
+                    4 * self.hidden * self.parts,
+                    (self.kernel, self.kernel),
+                    padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                    feature_group_count=self.parts,
+                    dtype=self.dtype,
+                )(combined)
+                g5 = gates.reshape(*gates.shape[:-1], self.parts,
+                                   4 * self.hidden)
+                i, f, o, g = jnp.split(g5, 4, axis=-1)
+                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+                g = nn.tanh(g)
+                c5 = c_prev.reshape(*c_prev.shape[:-1], self.parts,
+                                    self.hidden)
+                c5 = f * c5 + i * g
+                h5 = o * nn.tanh(c5)
+                h = h5.reshape(*h_prev.shape)
+                c = c5.reshape(*c_prev.shape)
+                if m is not None:
+                    mm = m[:, None, None, None].astype(h.dtype)
+                    h = h_prev * (1 - mm) + h * mm
+                    c = c_prev * (1 - mm) + c * mm
+                return (h, c), None
+
+        scan = nn.scan(
+            _Cell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        cell = scan(P, D, self.kernel, self.dtype)
+        init = (
+            jnp.zeros((B, H, W, P * D), xs.dtype),
+            jnp.zeros((B, H, W, P * D), xs.dtype),
+        )
+        inputs = (xs, mask) if mask is not None else xs
+        (h, c), _ = cell(init, inputs)
+        return h

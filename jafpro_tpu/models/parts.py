@@ -1,15 +1,20 @@
-"""The shared 24-part U-Net encoder/decoder stacks.
+"""The shared 24-part U-Net encoder/decoder stacks — grouped-channel form.
 
 The reference builds 24 *independent* per-part networks and loops over them
-in Python (``src/networks.py:1593-1828``) — 24 separate small-conv graphs.
-Here each part network is a single Flax module vmapped over a leading parts
-axis with per-part parameters (``nn.vmap`` with ``variable_axes={'params':0}``):
-numerically identical to 24 independent networks, but one compiled graph
-whose convs batch ``B x 24`` images onto the MXU.
+in Python (``src/networks.py:1593-1828``).  A first TPU port vmapped one
+part network over a parts axis; that still leaves every activation with a
+12-96 channel trailing dim, which the TPU pads to 128 lanes — measured
+10.7x memory expansion and matching bandwidth waste at full scale.
+
+This implementation packs the parts axis INTO the channel axis
+(part-major blocks: ``(B, H, W, P*C)``) and runs every per-part conv as one
+grouped convolution (``feature_group_count=P``) — numerically identical to
+P independent convs, but lanes stay full (288..2304 channels) and one conv
+kernel feeds the MXU per layer.
 
 Channel/spatial schedule (part tiles are 200x200):
   encoder:  [12@200, 24@100, 24@100, 24@50, 24@50, 48@25, 48@25, 96@13, 96@13]
-  skips:    x1@200/12, x3@100/24, x5@50/24, x7@25/48, x9@13/96
+  skips:    x1@200/12, x3@100/24, x5@50/24, x7@25/48, x9@13/96  (per part)
   decoder:  48@25 -> 24@50 -> 12@100 -> 6@200 -> conv3x3 -> 3   (accumulate)
             96@25 -> 48@50 -> 24@100 -> 12@200 -> conv3x3 -> 3  (inpainter)
 """
@@ -21,61 +26,105 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from jafpro_tpu.models.common import ConvLReLU, UpsampleConvLReLU
+from jafpro_tpu.ops.sampling import resize_bilinear
 
 ENC_NC = (12, 24, 24, 24, 24, 48, 48, 96, 96)
 
 
+def part_cat(a: jnp.ndarray, b: jnp.ndarray, parts: int) -> jnp.ndarray:
+    """Per-part channel concat of two part-major packed tensors:
+    (B, H, W, P*ca) + (B, H, W, P*cb) -> (B, H, W, P*(ca+cb))."""
+    B, H, W, _ = a.shape
+    a = a.reshape(B, H, W, parts, -1)
+    b = b.reshape(B, H, W, parts, -1)
+    return jnp.concatenate([a, b], axis=-1).reshape(B, H, W, parts, -1
+                                                    ).reshape(B, H, W, -1)
+
+
+class GroupConvLReLU(nn.Module):
+    """P independent conv+LeakyReLU(0.2) as one grouped conv
+    (the reference's per-part ``Downsampler``, ``src/networks.py:868-878``)."""
+
+    parts: int
+    features: int  # per part
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    negative_slope: float = 0.2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features * self.parts,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+            feature_group_count=self.parts,
+            dtype=self.dtype,
+        )(x)
+        if self.act:
+            x = nn.leaky_relu(x, self.negative_slope)
+        return x
+
+
 class PartEncoder(nn.Module):
-    """The 9-conv ``Downsampler_stack_noEmbed`` (``src/networks.py:1177-1201``).
+    """The 9-conv ``Downsampler_stack_noEmbed`` (``src/networks.py:1177-1201``)
+    for all P parts at once.  Input (B, H, W, P*3); returns the 5 skip
+    tensors (x1, x3, x5, x7, x9) in packed form."""
 
-    Returns the 5 skip tensors (x1, x3, x5, x7, x9).
-    """
-
+    parts: int = 24
     enc_nc: Sequence[int] = ENC_NC
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        nc = self.enc_nc
-        x1 = ConvLReLU(nc[0], kernel=5, dtype=self.dtype)(x)
-        x2 = ConvLReLU(nc[1], stride=2, dtype=self.dtype)(x1)
-        x3 = ConvLReLU(nc[2], dtype=self.dtype)(x2)
-        x4 = ConvLReLU(nc[3], stride=2, dtype=self.dtype)(x3)
-        x5 = ConvLReLU(nc[4], dtype=self.dtype)(x4)
-        x6 = ConvLReLU(nc[5], stride=2, dtype=self.dtype)(x5)
-        x7 = ConvLReLU(nc[6], dtype=self.dtype)(x6)
-        x8 = ConvLReLU(nc[7], stride=2, dtype=self.dtype)(x7)
-        x9 = ConvLReLU(nc[8], dtype=self.dtype)(x8)
+        P, nc = self.parts, self.enc_nc
+        C = lambda f, k=3, s=1: GroupConvLReLU(
+            P, f, kernel=k, stride=s, dtype=self.dtype)
+        x1 = C(nc[0], k=5)(x)
+        x2 = C(nc[1], s=2)(x1)
+        x3 = C(nc[2])(x2)
+        x4 = C(nc[3], s=2)(x3)
+        x5 = C(nc[4])(x4)
+        x6 = C(nc[5], s=2)(x5)
+        x7 = C(nc[6])(x6)
+        x8 = C(nc[7], s=2)(x7)
+        x9 = C(nc[8])(x8)
         return x1, x3, x5, x7, x9
 
 
 class PartDecoder(nn.Module):
-    """``Upsampler_stack_noEmbed`` (``src/networks.py:1203-1221``): fixed-size
-    bilinear up + skip concat + conv, then a 3x3 head to RGB."""
+    """``Upsampler_stack_noEmbed`` (``src/networks.py:1203-1221``): per level
+    bilinear resize to the skip's size (25/50/100/200 for 200px parts,
+    matching Upsampler_SE's fixed sizes), per-part skip concat, grouped
+    conv+LeakyReLU; 3x3 grouped head to P*3 channels."""
 
+    parts: int = 24
     dec_nc: Sequence[int] = (48, 24, 12, 6)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, skips, bottleneck=None):
+        P = self.parts
         x1, x3, x5, x7, x9 = skips
         x = x9 if bottleneck is None else bottleneck
-        # target sizes are each skip's own spatial size
-        # (25/50/100/200 for 200px parts, matching Upsampler_SE's fixed sizes)
-        x = UpsampleConvLReLU(self.dec_nc[0], x7.shape[1], dtype=self.dtype)(x, x7)
-        x = UpsampleConvLReLU(self.dec_nc[1], x5.shape[1], dtype=self.dtype)(x, x5)
-        x = UpsampleConvLReLU(self.dec_nc[2], x3.shape[1], dtype=self.dtype)(x, x3)
-        x = UpsampleConvLReLU(self.dec_nc[3], x1.shape[1], dtype=self.dtype)(x, x1)
-        return nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
+        for feat, skip in zip(self.dec_nc, (x7, x5, x3, x1)):
+            size = skip.shape[1]
+            x = resize_bilinear(x, (size, size), align_corners=True)
+            x = part_cat(x, skip, P)
+            x = GroupConvLReLU(P, feat, dtype=self.dtype)(x)
+        return GroupConvLReLU(P, 3, act=False, dtype=self.dtype)(x)
 
 
-def vmap_parts(module_cls, **kwargs):
-    """Lift a part module over a parts axis (axis 1) with per-part params."""
-    return nn.vmap(
-        module_cls,
-        in_axes=1,
-        out_axes=1,
-        variable_axes={"params": 0},
-        split_rngs={"params": True},
-    )(**kwargs)
+def pack_parts(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, P, h, w, C) -> packed (B, h, w, P*C) (part-major channels)."""
+    B, P, h, w, C = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, h, w, P * C)
+
+
+def unpack_parts(x: jnp.ndarray, parts: int) -> jnp.ndarray:
+    """(B, h, w, P*C) -> (B, P, h, w, C)."""
+    B, h, w, _ = x.shape
+    return jnp.transpose(
+        x.reshape(B, h, w, parts, -1), (0, 3, 1, 2, 4))

@@ -42,9 +42,13 @@ def test_accumulate_shapes():
     params = m.init(KEY, parts, mask)
     out = m.apply(params, parts, mask)
     assert out.shape == (1, 6, 32, 32, 3)
-    # per-part parameters are independent (stacked axis 0)
-    tree = jax.tree_util.tree_leaves(params)
-    assert all(l.shape[0] == 6 for l in tree)
+    # grouped convs keep parts independent: perturbing part 5's input
+    # must not change part 0's output (no cross-part path in accumulate)
+    parts2 = parts.at[:, :, 5].add(10.0)
+    out2 = m.apply(params, parts2, mask)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(out[:, 5]), np.asarray(out2[:, 5]))
 
 
 def test_inpainter_shapes_and_global_code():
