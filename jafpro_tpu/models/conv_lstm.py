@@ -166,10 +166,13 @@ class ConvGRU(nn.Module):
 class GroupedConvLSTM(nn.Module):
     """P independent single-layer ConvLSTMs over packed part-major channels.
 
-    xs: (B, T, H, W, P*C); mask (B, T).  One grouped 4-gate conv per step
-    (``feature_group_count=P``) — numerically identical to P separate cells
-    (reference ``src/convLSTM.py``), lanes stay full on TPU.
-    Returns the final hidden state (B, H, W, P*hidden).
+    xs: (B, T, H, W, P*C); mask (B, T).  Gates are computed as separate
+    grouped convolutions per gate and per [x | h] operand:
+    ``conv([x, h]) -> 4 gates`` == ``conv_x_g(x) + conv_h_g(h)`` per gate —
+    an exact reparameterization of the reference cell
+    (``src/convLSTM.py:41-56``) that avoids per-part channel concats and
+    gate-split reshapes (5/6-D temps whose narrow trailing dims the TPU
+    pads to 128 lanes).  Returns the final hidden state (B, H, W, P*hidden).
     """
 
     parts: int
@@ -179,8 +182,6 @@ class GroupedConvLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs, mask: Optional[jnp.ndarray] = None):
-        from jafpro_tpu.models.parts import part_cat
-
         B, T, H, W, _ = xs.shape
         P, D = self.parts, self.hidden_dim
 
@@ -194,25 +195,25 @@ class GroupedConvLSTM(nn.Module):
             def __call__(self, state, inputs):
                 h_prev, c_prev = state
                 x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
-                combined = part_cat(x, h_prev, self.parts)
-                gates = nn.Conv(
-                    4 * self.hidden * self.parts,
-                    (self.kernel, self.kernel),
-                    padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-                    feature_group_count=self.parts,
-                    dtype=self.dtype,
-                )(combined)
-                g5 = gates.reshape(*gates.shape[:-1], self.parts,
-                                   4 * self.hidden)
-                i, f, o, g = jnp.split(g5, 4, axis=-1)
-                i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
-                g = nn.tanh(g)
-                c5 = c_prev.reshape(*c_prev.shape[:-1], self.parts,
-                                    self.hidden)
-                c5 = f * c5 + i * g
-                h5 = o * nn.tanh(c5)
-                h = h5.reshape(*h_prev.shape)
-                c = c5.reshape(*c_prev.shape)
+                k = (self.kernel, self.kernel)
+                pad = [(self.kernel // 2, self.kernel // 2)] * 2
+
+                def gate(name, act):
+                    gx = nn.Conv(self.hidden * self.parts, k, padding=pad,
+                                 feature_group_count=self.parts,
+                                 dtype=self.dtype, name=f"{name}_x")(x)
+                    gh = nn.Conv(self.hidden * self.parts, k, padding=pad,
+                                 feature_group_count=self.parts,
+                                 use_bias=False, dtype=self.dtype,
+                                 name=f"{name}_h")(h_prev)
+                    return act(gx + gh)
+
+                i = gate("i", nn.sigmoid)
+                f = gate("f", nn.sigmoid)
+                o = gate("o", nn.sigmoid)
+                g = gate("g", nn.tanh)
+                c = f * c_prev + i * g
+                h = o * nn.tanh(c)
                 if m is not None:
                     mm = m[:, None, None, None].astype(h.dtype)
                     h = h_prev * (1 - mm) + h * mm

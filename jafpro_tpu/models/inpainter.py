@@ -20,8 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from jafpro_tpu.models.parts import (
-    GroupConvLReLU, PartDecoder, PartEncoder, pack_parts, part_cat,
-    unpack_parts)
+    GroupConvLReLU, PartDecoder, PartEncoder, pack_parts, unpack_parts)
 
 
 class UNetInpainter(nn.Module):
@@ -39,11 +38,9 @@ class UNetInpainter(nn.Module):
         # per-part 96 -> 3 compress (``Downsampler_stack``'s enc_compress)
         embed = GroupConvLReLU(P, 3, dtype=self.dtype)(skips[-1])
         # global code: all parts' embeddings, shared by every part's decoder
-        # (packed layout == channel concat already); broadcast per part
+        # (the packed layout IS the channel concat); broadcast per part
         ge = jnp.tile(embed, (1, 1, 1, P))  # (B, 13, 13, P*(P*3))
-        # bottleneck per part: [x9 (96), global code (72)]
-        bottleneck = part_cat(skips[-1], ge, P)
-
+        # decoder bottleneck per part: [x9 (96), global code (72)]
         out = PartDecoder(parts=P, dec_nc=(96, 48, 24, 12),
-                          dtype=self.dtype)(skips, bottleneck)
+                          dtype=self.dtype)(skips, bottleneck=[ge])
         return unpack_parts(out, P)

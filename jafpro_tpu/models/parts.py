@@ -43,7 +43,13 @@ def part_cat(a: jnp.ndarray, b: jnp.ndarray, parts: int) -> jnp.ndarray:
 
 class GroupConvLReLU(nn.Module):
     """P independent conv+LeakyReLU(0.2) as one grouped conv
-    (the reference's per-part ``Downsampler``, ``src/networks.py:868-878``)."""
+    (the reference's per-part ``Downsampler``, ``src/networks.py:868-878``).
+
+    Accepts multiple inputs: ``conv(concat_per_part(a, b)) ==
+    conv_a(a) + conv_b(b)`` exactly, so per-part skip concats never
+    materialize (a per-part channel concat needs a 5-D reshape whose
+    narrow trailing dim the TPU pads to 128 lanes — measured multi-GB
+    waste at full scale)."""
 
     parts: int
     features: int  # per part
@@ -54,18 +60,22 @@ class GroupConvLReLU(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(
-            self.features * self.parts,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            feature_group_count=self.parts,
-            dtype=self.dtype,
-        )(x)
+    def __call__(self, *inputs):
+        out = None
+        for i, x in enumerate(inputs):
+            y = nn.Conv(
+                self.features * self.parts,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                feature_group_count=self.parts,
+                use_bias=(i == 0),
+                dtype=self.dtype,
+            )(x)
+            out = y if out is None else out + y
         if self.act:
-            x = nn.leaky_relu(x, self.negative_slope)
-        return x
+            out = nn.leaky_relu(out, self.negative_slope)
+        return out
 
 
 class PartEncoder(nn.Module):
@@ -106,15 +116,19 @@ class PartDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, skips, bottleneck=None):
+        """``bottleneck``: optional list of extra packed tensors at x9's
+        resolution (e.g. the inpainter's global code) that join x9 as the
+        decoder input — each is resized and convolved separately (exactly
+        equal to per-part concat, without the 5-D reshape)."""
         P = self.parts
         x1, x3, x5, x7, x9 = skips
-        x = x9 if bottleneck is None else bottleneck
+        xs = [x9] if bottleneck is None else [x9, *bottleneck]
         for feat, skip in zip(self.dec_nc, (x7, x5, x3, x1)):
             size = skip.shape[1]
-            x = resize_bilinear(x, (size, size), align_corners=True)
-            x = part_cat(x, skip, P)
-            x = GroupConvLReLU(P, feat, dtype=self.dtype)(x)
-        return GroupConvLReLU(P, 3, act=False, dtype=self.dtype)(x)
+            ups = [resize_bilinear(x, (size, size), align_corners=True)
+                   for x in xs]
+            xs = [GroupConvLReLU(P, feat, dtype=self.dtype)(*ups, skip)]
+        return GroupConvLReLU(P, 3, act=False, dtype=self.dtype)(xs[0])
 
 
 def pack_parts(x: jnp.ndarray) -> jnp.ndarray:
