@@ -198,14 +198,15 @@ class GroupedConvLSTM(nn.Module):
                 k = (self.kernel, self.kernel)
                 pad = [(self.kernel // 2, self.kernel // 2)] * 2
 
+                from jafpro_tpu.models.parts import PartConv
+
                 def gate(name, act):
-                    gx = nn.Conv(self.hidden * self.parts, k, padding=pad,
-                                 feature_group_count=self.parts,
-                                 dtype=self.dtype, name=f"{name}_x")(x)
-                    gh = nn.Conv(self.hidden * self.parts, k, padding=pad,
-                                 feature_group_count=self.parts,
-                                 use_bias=False, dtype=self.dtype,
-                                 name=f"{name}_h")(h_prev)
+                    gx = PartConv(self.parts, self.hidden,
+                                  kernel=self.kernel, dtype=self.dtype,
+                                  name=f"{name}_x")(x)
+                    gh = PartConv(self.parts, self.hidden,
+                                  kernel=self.kernel, use_bias=False,
+                                  dtype=self.dtype, name=f"{name}_h")(h_prev)
                     return act(gx + gh)
 
                 i = gate("i", nn.sigmoid)

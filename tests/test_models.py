@@ -58,9 +58,10 @@ def test_inpainter_shapes_and_global_code():
     out = m.apply(params, parts)
     assert out.shape == (1, 6, 32, 32, 3)
     # the global bottleneck makes part 0's output depend on part 5's input
-    parts2 = parts.at[:, 5].add(10.0)
-    out2 = m.apply(params, parts2)
-    assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]))
+    # (checked by gradient — a forward perturbation attenuates through the
+    # 9-conv encoder at init)
+    g = jax.grad(lambda p: jnp.sum(m.apply(params, p)[:, 0] ** 2))(parts)
+    assert float(jnp.abs(g[:, 5]).max()) > 0.0
 
 
 def test_crn_smaller():
