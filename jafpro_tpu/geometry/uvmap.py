@@ -187,3 +187,44 @@ def default_asset(name: str) -> Optional[str]:
             if os.path.exists(p):
                 return p
     return None
+
+
+def fit_uv_image(uv_sampler, texture, uv_size: int = 224,
+                 steps: int = 2000, lr: float = 1e-2):
+    """Recover a UV-space image whose per-face samples match ``texture`` —
+    the reference's ``UVImageModel``/``compute_uv_image``
+    (``src/mesh.py:608-657``): optimize a (uv_size, uv_size, 3) latent with
+    Adam so that grid-sampling it at the per-face UV coords reproduces the
+    per-face texture, output through tanh.
+
+    Args:
+      uv_sampler: (F, T*T, 2) [-1, 1] sample coords (``create_uvsampler``).
+      texture:    (F, T, T, 3) target per-face texture in (-1, 1).
+    Returns:
+      (uv_size, uv_size, 3) float32 image in (-1, 1).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jafpro_tpu.ops.sampling import grid_sample
+
+    F, TT, _ = uv_sampler.shape
+    tgt = jnp.asarray(texture, jnp.float32).reshape(1, F, TT, 3)
+    grid = jnp.asarray(uv_sampler, jnp.float32)[None]  # (1, F, T*T, 2)
+    opt = optax.adam(lr)
+
+    def loss_fn(w):
+        img = jnp.tanh(w)[None]  # (1, S, S, 3)
+        samp = grid_sample(img, grid)
+        return jnp.mean(jnp.square(samp - tgt))
+
+    def step(carry, _):
+        w, st = carry
+        g = jax.grad(loss_fn)(w)
+        upd, st = opt.update(g, st, w)
+        return (optax.apply_updates(w, upd), st), None
+
+    w0 = jnp.zeros((uv_size, uv_size, 3), jnp.float32) - 1.0
+    (w, _), _ = jax.lax.scan(step, (w0, opt.init(w0)), None, length=steps)
+    return jnp.tanh(w)

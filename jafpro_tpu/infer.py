@@ -134,8 +134,15 @@ class VideoGenerator:
           src_imgs (R, S, S, 3), chosen_frames (R,),
           tgt_iuv255 / tgt_iuv (T, S, S, 3), smpl_mask (T, S, S, 1),
           cams (T, 3), verts (T, V, 3).
+        Non-array bookkeeping fields from ``load_clip`` (``vid_name``,
+        ``gt_frames``, ...) are ignored, so the whole clip dict can be
+        passed directly.
         Returns dict of (T, S, S, C) arrays: final / coarse / mask / tsf.
         """
+        used = ("src_parts", "src_mask_parts", "ref_mask", "bg_incomplete",
+                "src_imgs", "chosen_frames", "tgt_iuv255", "tgt_iuv",
+                "smpl_mask", "cams", "verts")
+        clip = {k: clip[k] for k in used}
         return self._jitted(params, clip)
 
 

@@ -10,3 +10,24 @@ from jafpro_tpu.models.discriminators import (  # noqa: F401
 from jafpro_tpu.models.vgg import VGG19Features  # noqa: F401
 from jafpro_tpu.models.flownet import FlowNetSD, FlowNetC  # noqa: F401
 from jafpro_tpu.models.hmr import HumanModelRecovery, ThetaRegressor  # noqa: F401
+from jafpro_tpu.models.ablations import (  # noqa: F401
+    AccumulateAvgFusion,
+    AccumulateMask,
+    AccumulateMaxFusion,
+    AccumulatePlain,
+    AutoEncoder,
+    BlendingModule,
+    CRNAuto,
+    EdgeGenerator,
+    InpaintGenerator,
+    MaxFusionModule,
+    NLayerDiscriminator,
+    PatchDiscriminator70,
+    PixelDiscriminator,
+    PredictiveModule,
+    RRDB,
+    SpatioTempoCRN,
+    UNetGenerator,
+    UNetSE,
+    UNetTA,
+)
