@@ -74,12 +74,18 @@ def random_faces(n_faces, seed=0):
     return fv
 
 
-@pytest.mark.parametrize("chunk", [7, 64])
-def test_rasterizer_matches_oracle(chunk):
+@pytest.mark.parametrize("chunk,band_rows,band_capacity", [
+    (7, 0, 0),        # dense path
+    (64, 16, 4096),   # banded (default capacity)
+    (16, 8, 64),      # banded, capacity binds only per-band (<= 50 members)
+])
+def test_rasterizer_matches_oracle(chunk, band_rows, band_capacity):
     S, near, far = 32, 0.1, 25.0
     fv = random_faces(50, seed=1)
     fim, wim = rasterize_fim_wim(jnp.asarray(fv)[None], image_size=S,
-                                 near=near, far=far, chunk=chunk, flip_y=False)
+                                 near=near, far=far, chunk=chunk, flip_y=False,
+                                 band_rows=band_rows,
+                                 band_capacity=band_capacity)
     fim, wim = np.asarray(fim[0]), np.asarray(wim[0])
     ref_fim, ref_wim = numpy_raster_oracle(fv.astype(np.float64), S, near, far)
     cover = ref_fim >= 0
