@@ -145,6 +145,33 @@ class VideoGenerator:
         clip = {k: clip[k] for k in used}
         return self._jitted(params, clip)
 
+    _CLIP_FIELDS = (
+        "src_parts", "src_mask_parts", "ref_mask", "bg_incomplete",
+        "src_imgs", "chosen_frames", "tgt_iuv255", "tgt_iuv", "smpl_mask",
+        "cams", "verts")
+
+    @functools.cached_property
+    def _jitted_batch(self):
+        return jax.jit(jax.vmap(self._generate, in_axes=(None, 0)))
+
+    def generate_batch(self, params, clips, mesh=None):
+        """Serving scale-out: generate many clips at once.
+
+        ``clips``: a clip dict whose every field carries a leading n_clips
+        axis (stack per-clip dicts with ``jax.tree_util.tree_map``).  With a
+        ``mesh`` (1-D, axis 'data'), clips are sharded across devices and
+        parameters replicated — whole-clip data parallelism over ICI, the
+        TPU equivalent of running the reference's single-GPU test script on
+        N GPUs at once.  Returns (n_clips, T, S, S, C) arrays.
+        """
+        clips = {k: clips[k] for k in self._CLIP_FIELDS}
+        if mesh is not None:
+            from jafpro_tpu.parallel.mesh import replicate, shard_batch
+
+            clips = shard_batch(mesh, clips)
+            params = replicate(mesh, params)
+        return self._jitted_batch(params, clips)
+
 
 def frames_to_uint8(frames: jnp.ndarray) -> np.ndarray:
     """(-1, 1) floats -> uint8 images (reference save path)."""

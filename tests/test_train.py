@@ -171,3 +171,37 @@ def test_video_generator_frame_batch_invariance(setup):
     out3 = VideoGenerator(pipe, frame_batch=3)(params, clip)
     np.testing.assert_allclose(np.asarray(out1["final"]),
                                np.asarray(out3["final"]), atol=2e-5)
+
+
+def test_video_generator_batch_sharded(setup):
+    """Whole-clip data parallelism: a 2-clip batch sharded over a 2-device
+    mesh matches the single-clip path per clip."""
+    from jafpro_tpu.parallel.mesh import create_mesh
+
+    pipe, params, batch = setup
+    verts, _ = synthetic_quad_mesh(6)
+    T, R = 3, 2
+    clip = {
+        "src_parts": batch["src_parts"],
+        "src_mask_parts": batch["src_mask_parts"],
+        "ref_mask": batch["ref_mask"],
+        "bg_incomplete": batch["bg_incomplete"],
+        "src_imgs": jnp.tile(batch["prev_img"], (R, 1, 1, 1)),
+        "chosen_frames": jnp.asarray([0, 2], jnp.int32),
+        "tgt_iuv255": jnp.tile(batch["tgt_iuv255"], (T, 1, 1, 1)),
+        "tgt_iuv": jnp.tile(batch["tgt_iuv"], (T, 1, 1, 1)),
+        "smpl_mask": jnp.tile(batch["smpl_mask"], (T, 1, 1, 1)),
+        "cams": jnp.tile(jnp.asarray([[1.0, 0, 0]]), (T, 1)),
+        "verts": jnp.tile(jnp.asarray(verts)[None], (T, 1, 1)),
+    }
+    gen = VideoGenerator(pipe)
+    single = gen(params, clip)
+    clips = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x]), clip)
+    mesh = create_mesh(2)
+    out = gen.generate_batch(params, clips, mesh=mesh)
+    assert out["final"].shape == (2,) + single["final"].shape
+    np.testing.assert_allclose(np.asarray(out["final"][0]),
+                               np.asarray(single["final"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["final"][1]),
+                               np.asarray(out["final"][0]), atol=1e-6)
