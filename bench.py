@@ -41,7 +41,9 @@ def main():
         verts, faces = synthetic_quad_mesh(64)
         num_verts = verts.shape[0]
     engine = SMPLFlowEngine.create(
-        faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk)
+        faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
+        band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")),
+        band_capacity=int(os.environ.get("BENCH_BAND_CAPACITY", "4096")))
     pipe = JAFProPipeline(cfg, flow_engine=engine)
     params = pipe.init_params(jax.random.PRNGKey(0))
 
@@ -69,7 +71,8 @@ def main():
         "verts": jnp.asarray(verts),
     }
 
-    gen = VideoGenerator(pipe)
+    gen = VideoGenerator(
+        pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")))
 
     # Chain iterations through a data dependency and time to a full host
     # fetch: on remote-tunnel runtimes block_until_ready can return early,

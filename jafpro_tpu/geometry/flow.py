@@ -67,6 +67,8 @@ class SMPLFlowEngine:
     viewing_angle: float = 30.0
     chunk: int = 2048  # swept on v5e: 2048 ~1.6x faster than 512 (TUNING.md)
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    band_rows: int = 16        # row-band face binning (0 = dense)
+    band_capacity: int = 4096  # max faces per band (lowest-id-first)
 
     @classmethod
     def create(
@@ -111,6 +113,7 @@ class SMPLFlowEngine:
             fim, wim = rasterize_fim_wim(
                 fv, image_size=self.image_size, near=self.near,
                 far=self.far, chunk=self.chunk,
+                band_rows=self.band_rows, band_capacity=self.band_capacity,
             )
         return fv, fim, wim
 
