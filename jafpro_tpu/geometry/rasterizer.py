@@ -201,8 +201,13 @@ def _rasterize_single(
                 idb.reshape(n_chunks, chunk),
                 xi_b, yi, xp, yp, inv_near, inv_far)
 
-        best_q, idx_min = jax.vmap(one_band)(
-            xg, yg, izg, invg, valid, safe, r0)           # (nb, Pb)
+        # lax.map (scan) over bands: only ONE band's (Pb x chunk) temps are
+        # live at a time — a vmap here keeps all nb bands' temporaries
+        # resident, which OOMs the batched training step (2 rasterizations
+        # per iter under a batch-4 GAN step)
+        best_q, idx_min = jax.lax.map(
+            lambda t: one_band(*t),
+            (xg, yg, izg, invg, valid, safe, r0))         # (nb, Pb)
         best_q = best_q.reshape(S * S)
         idx_min = idx_min.reshape(S * S)
         P = S * S
