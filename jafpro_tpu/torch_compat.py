@@ -298,6 +298,53 @@ def load_torch_face_discriminator(path_or_sd) -> dict:
         sd, conv_idx=(0, 2, 5, 8), bn_idx=(3, 6, 9), feat_hw=4)
 
 
+def load_torch_hmr(path_or_sd, num_blocks=(3, 4, 6, 3)) -> dict:
+    """``HumanModelRecovery`` state_dict (e.g. the ``hmr_tf2pt.pth`` weights
+    loaded at ``src/cal_flow.py:17-19``) -> our HMR variables
+    ({'params', 'batch_stats'}).  SMPL buffers in the checkpoint are
+    ignored (vertices come from `geometry.smpl`)."""
+    sd = _load_sd(path_or_sd)
+    params: dict = {"resnet": {}, "regressor": {}}
+    stats: dict = {"resnet": {}}
+
+    def bn(prefix):
+        return ({"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.bias"])},
+                {"mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+                 "var": jnp.asarray(sd[f"{prefix}.running_var"])})
+
+    r = params["resnet"]
+    rs = stats["resnet"]
+    r["conv1"] = {"kernel": _conv(sd["resnet.conv1.weight"]),
+                  "bias": jnp.asarray(sd["resnet.conv1.bias"])}
+    for li, n in enumerate(num_blocks):
+        for bi in range(n):
+            t = f"resnet.layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            blk, blk_s = {}, {}
+            for b in ("bn1", "bn2", "bn3"):
+                blk[b], blk_s[b] = bn(f"{t}.{b}")
+            for c in ("conv1", "conv2"):
+                blk[c] = {"kernel": _conv(sd[f"{t}.{c}.weight"])}
+            blk["conv3"] = {"kernel": _conv(sd[f"{t}.conv3.weight"]),
+                            "bias": jnp.asarray(sd[f"{t}.conv3.bias"])}
+            if f"{t}.shortcut.0.weight" in sd:
+                blk["shortcut"] = {
+                    "kernel": _conv(sd[f"{t}.shortcut.0.weight"]),
+                    "bias": jnp.asarray(sd[f"{t}.shortcut.0.bias"])}
+            r[name] = blk
+            rs[name] = blk_s
+    r["post_bn"], rs["post_bn"] = bn("resnet.post_bn")
+
+    g = params["regressor"]
+    g["mean_theta"] = jnp.asarray(sd["regressor.mean_theta"])
+    for i in (1, 2, 3):
+        g[f"fc{i}"] = {
+            "kernel": jnp.asarray(sd[f"regressor.fc_blocks.fc{i}.weight"].T),
+            "bias": jnp.asarray(sd[f"regressor.fc_blocks.fc{i}.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_pipeline(ckpt_dir: str, iteration: int = 42000,
                         names: Optional[Dict[str, str]] = None) -> dict:
     """Load the five generation modules the way ``conv_pro_test.py:110-141``

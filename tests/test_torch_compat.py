@@ -26,8 +26,14 @@ def ref():
         tv.models = types.ModuleType("torchvision.models")
         tv.models.vgg19 = None
         tv.models.vgg16 = None
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.functional = types.ModuleType(
+            "torchvision.transforms.functional")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.transforms.functional"] = (
+            tv.transforms.functional)
     sys.path.insert(0, REF)
     import src.convLSTM as conv_lstm
     import src.crn_model as crn_model
@@ -115,6 +121,45 @@ def test_discriminator_parity(ref):
     variables = load_torch_face_discriminator(tm.state_dict())
     out = FaceDiscriminator(ndf=8).apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=2e-4)
+
+
+def test_hmr_parity(ref):
+    """The reference ``HumanModelRecovery`` ctor needs the (absent) SMPL
+    pickle; its resnet+regressor forward (``src/hmr.py:276-300``) is
+    composed here from the real reference submodules instead."""
+    torch = ref.torch
+    import torch.nn.functional as F
+    import src.hmr as ref_hmr
+
+    from jafpro_tpu.models import HumanModelRecovery
+    from jafpro_tpu.torch_compat import load_torch_hmr
+
+    resnet = ref_hmr.preActResNet50().eval()
+    regressor = ref_hmr.ThetaRegressor(2048 + 85, 85, 3).eval()
+    # exercise running statistics (the converter maps them)
+    torch.manual_seed(5)
+    for m in resnet.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        out = resnet.conv1(torch.from_numpy(_nchw(x)))
+        out = F.max_pool2d(out, kernel_size=3, stride=2, ceil_mode=True)
+        for layer in (resnet.layer1, resnet.layer2, resnet.layer3,
+                      resnet.layer4):
+            out = layer(out)
+        out = F.relu(resnet.post_bn(out))
+        out = F.avg_pool2d(out, 7).view(out.size(0), -1)
+        t_theta = regressor(out)
+
+    sd = {f"resnet.{k}": v for k, v in resnet.state_dict().items()}
+    sd.update({f"regressor.{k}": v for k, v in regressor.state_dict().items()})
+    variables = load_torch_hmr(sd)
+    theta = HumanModelRecovery().apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(theta), t_theta.numpy(), atol=5e-4)
 
 
 def _patch_lstm_cpu(ref, module, sizes):
