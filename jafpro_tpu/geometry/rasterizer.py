@@ -264,6 +264,29 @@ def _rasterize_single(
     return fim, wim, dim
 
 
+def band_occupancy(face_verts: np.ndarray, image_size: int = 256,
+                   band_rows: int = 16) -> np.ndarray:
+    """Per-band front-face counts (B, S/band_rows) — host-side diagnostic
+    for choosing ``band_capacity``: the banded rasterizer is exact whenever
+    every count stays <= capacity (over-capacity bands drop the
+    highest-index faces).  Run over a sample of your dataset's SMPL poses
+    to validate a lower capacity (e.g. 2048, ~+10% throughput)."""
+    fv = np.asarray(face_verts, np.float32)
+    x, y = fv[..., 0], fv[..., 1]
+    front = (y[..., 2] - y[..., 0]) * (x[..., 1] - x[..., 0]) >= (
+        (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0]))
+    S = image_size
+    nb = S // band_rows
+    r0 = np.arange(nb, dtype=np.float32) * band_rows
+    lo = (2.0 * r0 + 1 - S) / S
+    hi = (2.0 * (r0 + band_rows - 1) + 1 - S) / S
+    fy_min, fy_max = y.min(-1), y.max(-1)
+    member = (front[:, None, :]
+              & (fy_max[:, None, :] >= lo[None, :, None])
+              & (fy_min[:, None, :] <= hi[None, :, None]))
+    return member.sum(-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y",
                               "return_depth", "band_rows", "band_capacity")

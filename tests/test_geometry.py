@@ -2,6 +2,7 @@
 SMPL LBS sanity, and the flow engine's self-consistency."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -93,6 +94,79 @@ def test_rasterizer_matches_oracle(chunk, band_rows, band_capacity):
     np.testing.assert_array_equal(fim, ref_fim)
     np.testing.assert_allclose(wim[cover], ref_wim[cover], atol=1e-4)
     assert (wim[~cover] == 0).all()
+
+
+def test_band_occupancy_predicts_exactness():
+    from jafpro_tpu.geometry.rasterizer import band_occupancy
+
+    S = 32
+    fv = random_faces(50, seed=7)[None]
+    occ = band_occupancy(fv, image_size=S, band_rows=8)
+    assert occ.shape == (1, 4)
+    # brute check of one band's count
+    y = fv[0, :, :, 1]
+    front = (y[:, 2] - fv[0, :, :, 1][:, 0]) * (
+        fv[0, :, :, 0][:, 1] - fv[0, :, :, 0][:, 0]) >= (
+        (y[:, 1] - y[:, 0]) * (fv[0, :, :, 0][:, 2] - fv[0, :, :, 0][:, 0]))
+    lo, hi = (2 * 0 + 1 - S) / S, (2 * 7 + 1 - S) / S
+    expect = int(np.sum(front & (y.max(1) >= lo) & (y.min(1) <= hi)))
+    assert int(occ[0, 0]) == expect
+
+    # capacity >= max occupancy -> banded == dense, bitwise
+    cap = int(occ.max())
+    dense = rasterize_fim_wim(jnp.asarray(fv), image_size=S, chunk=16,
+                              band_rows=0, flip_y=False)
+    banded = rasterize_fim_wim(jnp.asarray(fv), image_size=S, chunk=16,
+                               band_rows=8, band_capacity=cap, flip_y=False)
+    np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(banded[0]))
+
+
+def test_torch_params_orbax_roundtrip(tmp_path):
+    """Converted torch params survive an orbax save/restore cycle."""
+    pytest.importorskip("torch")
+    import torch
+
+    from jafpro_tpu.checkpoints import restore_checkpoint, save_checkpoint
+    from jafpro_tpu.models import CRNSmaller
+    from jafpro_tpu.torch_compat import load_torch_crn
+
+    sd = {}
+    rng = np.random.RandomState(8)
+
+    def add_block(prefix, cin, cout):
+        for i, c_in in ((0, cin), (3, cout)):
+            sd[f"{prefix}.conv_block.{i}.weight"] = torch.from_numpy(
+                rng.randn(cout, c_in, 3, 3).astype(np.float32))
+            sd[f"{prefix}.conv_block.{i}.bias"] = torch.from_numpy(
+                rng.randn(cout).astype(np.float32))
+        for i in (1, 4):
+            sd[f"{prefix}.conv_block.{i}.gamma"] = torch.from_numpy(
+                rng.rand(cout).astype(np.float32))
+            sd[f"{prefix}.conv_block.{i}.beta"] = torch.from_numpy(
+                rng.randn(cout).astype(np.float32))
+
+    enc = [(6, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+           (256, 512)]
+    for i, (ci, co) in enumerate(enc):
+        add_block(f"conv{i + 1}_encoder", ci, co)
+    dec_in = [6 + 512, 6 + 512 + 256, 6 + 512 + 256, 6 + 512 + 128,
+              6 + 512 + 128, 6 + 512 + 64]
+    for lvl, ci in zip(range(6, 0, -1), dec_in):
+        add_block(f"conv{lvl}_decoder", ci, 512 if lvl > 1 else 256)
+    add_block("decoder", 6 + 256, 256)
+    sd["out_conv.weight"] = torch.from_numpy(
+        rng.randn(3, 256, 1, 1).astype(np.float32))
+    sd["out_conv.bias"] = torch.from_numpy(rng.randn(3).astype(np.float32))
+
+    variables = load_torch_crn(sd, fg=False)
+    save_checkpoint(str(tmp_path), 42000, {"bg": variables["params"]})
+    target = jax.tree_util.tree_map(np.zeros_like,
+                                    {"bg": variables["params"]})
+    restored = restore_checkpoint(str(tmp_path), 42000, target)
+    x = jnp.asarray(rng.randn(1, 64, 64, 6).astype(np.float32))
+    out1 = CRNSmaller().apply(variables, x, 64)
+    out2 = CRNSmaller().apply({"params": restored["bg"]}, x, 64)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
 def test_rasterizer_near_far_cull():
