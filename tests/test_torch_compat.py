@@ -162,6 +162,37 @@ def test_hmr_parity(ref):
     np.testing.assert_allclose(np.asarray(theta), t_theta.numpy(), atol=5e-4)
 
 
+def test_load_torch_pipeline_glue(ref, tmp_path):
+    """The conv_pro_test-style directory loader: reference file names,
+    nn.DataParallel 'module.' prefixes, and tree compatibility with the
+    pipeline's init_params structure."""
+    torch = ref.torch
+    import jax
+
+    from jafpro_tpu.torch_compat import (
+        load_torch_crn, load_torch_propagation)
+
+    bg = ref.crn.CRN_smaller(3, fg=False)
+    refine = ref.crn.CRN_smaller(3, fg=True)
+    pro = ref.flow.Propagation3DFlowNet(9, 32, 2, 3, use_deconv=False)
+
+    def save(stem, module):
+        sd = {f"module.{k}": v for k, v in module.state_dict().items()}
+        torch.save(sd, tmp_path / f"{stem}_iter_7.pth")
+
+    save("bg", bg)
+    save("refine", refine)
+    save("pro", pro)
+
+    # per-module loaders accept the saved files with the DP prefix
+    pb = load_torch_crn(str(tmp_path / "bg_iter_7.pth"), fg=False)
+    pr = load_torch_crn(str(tmp_path / "refine_iter_7.pth"), fg=True)
+    pp = load_torch_propagation(str(tmp_path / "pro_iter_7.pth"))
+    assert "Conv_1" in pr["params"] and "Conv_1" not in pb["params"]
+    leaves = jax.tree_util.tree_leaves(pp["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def _patch_lstm_cpu(ref, module, sizes):
     """Point the reference ConvLSTM cells at CPU zeros with the right
     spatial sizes (the reference hardcodes .cuda() and 200px)."""
