@@ -67,8 +67,13 @@ class SMPLFlowEngine:
     viewing_angle: float = 30.0
     chunk: int = 2048  # swept on v5e: 2048 ~1.6x faster than 512 (TUNING.md)
     backend: str = "auto"  # "auto" | "xla" | "pallas"
-    band_rows: int = 16        # row-band face binning (0 = dense)
-    band_capacity: int = 4096  # max faces per band (lowest-id-first)
+    # Row-band face binning (XLA backend only; the opt-in pallas kernel has
+    # its own VMEM block culling and ignores these).  Exact for the SMPL
+    # topology at this capacity (validate other meshes with
+    # ``rasterizer.band_occupancy``); band_rows=0 -> dense/exact for any
+    # mesh.
+    band_rows: int = 16
+    band_capacity: int = 4096
 
     @classmethod
     def create(

@@ -299,7 +299,7 @@ def rasterize_fim_wim(
     chunk: int = 2048,
     flip_y: bool = True,
     return_depth: bool = False,
-    band_rows: int = 16,
+    band_rows: int = 0,
     band_capacity: int = 4096,
 ):
     """Rasterize (B, F, 3, 3) view-space triangles into per-pixel
@@ -312,9 +312,13 @@ def rasterize_fim_wim(
     (``rasterize.py:335-338``) — ``flip_y=False`` gives the raw kernel
     orientation.
 
-    ``band_rows=16`` (default) bins faces into horizontal pixel bands
-    before the z-buffer pass (see ``_rasterize_single``); ``band_rows=0``
-    disables binning (dense pixels x faces reduction).
+    ``band_rows > 0`` bins faces into horizontal pixel bands before the
+    z-buffer pass (see ``_rasterize_single``) — ~2x end-to-end on the SMPL
+    pipeline, but bands over ``band_capacity`` front faces silently drop
+    the highest-id overflow, so it is OFF by default here (exact for any
+    mesh); ``SMPLFlowEngine`` turns it on for the SMPL topology, whose
+    per-band counts sit far under the default capacity (validate other
+    meshes with ``band_occupancy``).
     """
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far,

@@ -139,10 +139,7 @@ class VideoGenerator:
         passed directly.
         Returns dict of (T, S, S, C) arrays: final / coarse / mask / tsf.
         """
-        used = ("src_parts", "src_mask_parts", "ref_mask", "bg_incomplete",
-                "src_imgs", "chosen_frames", "tgt_iuv255", "tgt_iuv",
-                "smpl_mask", "cams", "verts")
-        clip = {k: clip[k] for k in used}
+        clip = {k: clip[k] for k in self._CLIP_FIELDS}
         return self._jitted(params, clip)
 
     _CLIP_FIELDS = (

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from jafpro_tpu.losses import vgg_preprocess
 from jafpro_tpu.models.vgg import _BLOCKS
-from jafpro_tpu.ops.sampling import resize_bilinear
+from jafpro_tpu.ops.sampling import resize_bilinear, resize_nearest
 
 
 class VGG19Taps(nn.Module):
@@ -46,8 +46,6 @@ class VGG19Taps(nn.Module):
         deepest = max(b for b, _ in want)
         feats = {}
         for b, widths in enumerate(_BLOCKS):
-            if b + 1 > deepest and not feats:
-                break
             for i, w in enumerate(widths):
                 x = nn.Conv(w, (3, 3), padding=[(1, 1), (1, 1)],
                             dtype=self.dtype, name=f"conv{b + 1}_{i + 1}")(x)
@@ -150,9 +148,11 @@ def style_loss(feats_fn: Callable, imgs: jnp.ndarray,
                recon: jnp.ndarray, weight: float = 1.0,
                size: int = 224) -> jnp.ndarray:
     """liquid ``StyleLoss`` (``src/liquid_networks.py:399-421``): mean |gram
-    difference| per feature map, normalized by the map's spatial area."""
-    a = resize_bilinear(imgs, (size, size), align_corners=False)
-    b = resize_bilinear(recon, (size, size), align_corners=False)
+    difference| per feature map, normalized by the map's spatial area.
+    Inputs are resized with nearest interpolation (torch
+    ``F.interpolate`` default, matching the reference)."""
+    a = resize_nearest(imgs, (size, size))
+    b = resize_nearest(recon, (size, size))
     loss = jnp.zeros((), jnp.float32)
     for fa, fb in zip(feats_fn(a), feats_fn(b)):
         area = fa.shape[1] * fa.shape[2]
@@ -175,17 +175,22 @@ def hmr_loss(hmr_fn: Callable, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def face_feature_loss(feats_fn: Callable, imgs1: jnp.ndarray,
                       imgs2: jnp.ndarray,
-                      weights: Sequence[float] = VID2VID_WEIGHTS,
+                      weights: Optional[Sequence[float]] = None,
                       size: tuple = (112, 96)) -> jnp.ndarray:
     """liquid ``FaceLoss`` (``src/liquid_networks.py:209-398``): resize face
-    crops to the face-net input size and L1-compare its feature pyramid.
-    The reference uses a SphereFace/SENet checkpoint; here ``feats_fn`` is
-    any feature extractor (the VGG19 taps work as the no-external-weights
-    default — documented deviation, the sphere20a weights are external
-    assets the reference repo does not ship)."""
-    a = resize_bilinear(imgs1, size, align_corners=False)
-    b = resize_bilinear(imgs2, size, align_corners=False)
+    crops to the face-net input size (bilinear, align_corners=True —
+    ``:272-277``) and sum UNWEIGHTED L1 over its feature pyramid (the
+    reference defines 1/32..1 weights but ``compute_loss`` never applies
+    them, ``:279-285``; pass ``weights`` to opt into them).  The reference
+    uses a SphereFace/SENet checkpoint; here ``feats_fn`` is any feature
+    extractor (the VGG19 taps work as the no-external-weights default —
+    documented deviation, the sphere20a weights are external assets the
+    reference repo does not ship)."""
+    a = resize_bilinear(imgs1, size, align_corners=True)
+    b = resize_bilinear(imgs2, size, align_corners=True)
     fa, fb = feats_fn(a), feats_fn(b)
+    if weights is None:
+        weights = [1.0] * len(fa)
     loss = jnp.zeros((), jnp.float32)
     for w, x, y in zip(weights, fa, fb):
         loss = loss + w * jnp.mean(jnp.abs(x - jax.lax.stop_gradient(y)))

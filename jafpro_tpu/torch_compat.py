@@ -30,7 +30,7 @@ from typing import Dict, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-ENC_NC = (12, 24, 24, 24, 24, 48, 48, 96, 96)
+from jafpro_tpu.models.parts import ENC_NC
 
 
 def _load_sd(path_or_sd):
