@@ -206,6 +206,11 @@ def cmd_evaluate(args) -> None:
                        and not n.startswith(("mask_", "coarse_", "tsf_")))
         return np.stack([cv2.imread(os.path.join(d, n)) for n in names])
 
+    for name, d in (("--pred", args.pred), ("--gt", args.gt)):
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"evaluate: {name} directory not found: {d} "
+                "(expected per-video subdirectories of frames)")
     results = []
     vids = sorted(os.listdir(args.pred))
     for vid in vids:
