@@ -231,6 +231,19 @@ def cmd_evaluate(args) -> None:
             f.write(repr(mean) + "\n")
 
 
+def cmd_pack(args) -> None:
+    from jafpro_tpu.config import get_general_options
+    from jafpro_tpu.data.shardio import pack_dancevideo
+
+    cfg = get_general_options()
+    n = pack_dancevideo(
+        cfg.data_root, cfg.smpl_root, cfg.mask_root,
+        args.out, mode=args.mode,
+        samples_per_video=args.samples_per_video,
+        num_refs=args.num_refs, seed=args.seed)
+    print(f"packed {n} samples into {args.out}")
+
+
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(prog="jafpro_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +266,17 @@ def main(argv: Optional[list] = None) -> None:
     e.add_argument("--pred", required=True)
     e.add_argument("--gt", required=True)
     e.set_defaults(fn=cmd_evaluate)
+
+    k = sub.add_parser(
+        "pack", help="pre-pack DanceVideo interval samples into native "
+        "shards (the TPU input pipeline reads these instead of re-decoding "
+        "images per sample)")
+    k.add_argument("--out", required=True)
+    k.add_argument("--mode", default="train", choices=["train", "test"])
+    k.add_argument("--samples_per_video", type=int, default=4)
+    k.add_argument("--num_refs", type=int, default=4)
+    k.add_argument("--seed", type=int, default=0)
+    k.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -94,6 +94,11 @@ def get_general_options() -> Config:
     env_root = os.environ.get("JAFPRO_DATA_ROOT")
     if env_root:
         cfg.data_root = env_root
+    for attr, var in (("smpl_root", "JAFPRO_SMPL_ROOT"),
+                      ("mask_root", "JAFPRO_MASK_ROOT")):
+        v = os.environ.get(var)
+        if v:
+            setattr(cfg, attr, v)
     return cfg
 
 
