@@ -32,7 +32,8 @@ def main():
     T, R, S, p = 30, 4, 256, 200
 
     cfg = Config(image_size=S, part_size=p, maximum_ref_frames=R,
-                 compute_dtype="bfloat16")
+                 compute_dtype="bfloat16",
+                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "groups"))
     path = default_smpl_faces_path()
     if path is not None:
         faces = np.load(path).astype(np.int32)

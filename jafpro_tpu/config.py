@@ -68,6 +68,10 @@ class Config:
 
     # ---- TPU-native settings ----
     compute_dtype: str = "bfloat16"   # conv/matmul activations dtype
+    # PartConv lowering for the texture nets: "dense" (block-diagonal; the
+    # training-memory-safe form) or "groups" (XLA grouped conv; fastest for
+    # batch-1 inference).  Identical params/numerics (models/parts.py).
+    part_conv_impl: str = "dense"
     param_dtype: str = "float32"
     rasterizer_backend: str = "auto"  # "auto" | "xla" | "pallas"
     rasterizer_face_chunk: int = 2048

@@ -29,8 +29,11 @@ class AccumulateLSTM(nn.Module):
 
     Equivalent of ``Accumulate_LSTM_no_loss`` (the loss lives in
     ``jafpro_tpu.losses.masked_atlas_l1``, decoupled from the module).
+    ``conv_impl``: PartConv lowering ("dense" for training / "groups" for
+    batch-1 inference — see ``models/parts.py``; params identical).
     """
 
+    conv_impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -41,18 +44,20 @@ class AccumulateLSTM(nn.Module):
 
         # (B*N, H, W, P*C) packed part-major
         x = pack_parts(parts.reshape(B * N, P, H, W, C))
-        skips = PartEncoder(parts=P, dtype=self.dtype)(x)
+        skips = PartEncoder(parts=P, impl=self.conv_impl, dtype=self.dtype)(x)
 
         fused = []
         for level, s in enumerate(skips):
             hs, ws = s.shape[1:3]
             seq = s.reshape(B, N, hs, ws, s.shape[-1])
             h_last = GroupedConvLSTM(
-                parts=P, hidden_dim=ENC_NC[2 * level], dtype=self.dtype,
+                parts=P, hidden_dim=ENC_NC[2 * level], impl=self.conv_impl,
+                dtype=self.dtype,
                 name=f"lstm{level}")(seq, ref_mask)
             fused.append(h_last)
 
-        out = PartDecoder(parts=P, dtype=self.dtype)(tuple(fused))
+        out = PartDecoder(parts=P, impl=self.conv_impl,
+                          dtype=self.dtype)(tuple(fused))
         return unpack_parts(out, P)
 
 

@@ -178,6 +178,7 @@ class GroupedConvLSTM(nn.Module):
     parts: int
     hidden_dim: int  # per part
     kernel: int = 3
+    impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -189,6 +190,7 @@ class GroupedConvLSTM(nn.Module):
             parts: int
             hidden: int
             kernel: int
+            impl: str
             dtype: Optional[jnp.dtype]
 
             @nn.compact
@@ -202,10 +204,12 @@ class GroupedConvLSTM(nn.Module):
 
                 def gate(name, act):
                     gx = PartConv(self.parts, self.hidden,
-                                  kernel=self.kernel, dtype=self.dtype,
+                                  kernel=self.kernel, impl=self.impl,
+                                  dtype=self.dtype,
                                   name=f"{name}_x")(x)
                     gh = PartConv(self.parts, self.hidden,
                                   kernel=self.kernel, use_bias=False,
+                                  impl=self.impl,
                                   dtype=self.dtype, name=f"{name}_h")(h_prev)
                     return act(gx + gh)
 
@@ -228,7 +232,7 @@ class GroupedConvLSTM(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        cell = scan(P, D, self.kernel, self.dtype)
+        cell = scan(P, D, self.kernel, self.impl, self.dtype)
         init = (
             jnp.zeros((B, H, W, P * D), xs.dtype),
             jnp.zeros((B, H, W, P * D), xs.dtype),

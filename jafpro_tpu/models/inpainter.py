@@ -27,20 +27,23 @@ class UNetInpainter(nn.Module):
     """(B, 24, h, w, 3) fused-texture parts -> inpainted parts (same shape)."""
 
     num_parts: int = 24
+    conv_impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, parts: jnp.ndarray) -> jnp.ndarray:
         B, P, H, W, C = parts.shape
         x = pack_parts(parts)
-        skips = PartEncoder(parts=P, dtype=self.dtype)(x)
+        skips = PartEncoder(parts=P, impl=self.conv_impl, dtype=self.dtype)(x)
 
         # per-part 96 -> 3 compress (``Downsampler_stack``'s enc_compress)
-        embed = GroupConvLReLU(P, 3, dtype=self.dtype)(skips[-1])
+        embed = GroupConvLReLU(P, 3, impl=self.conv_impl,
+                               dtype=self.dtype)(skips[-1])
         # global code: all parts' embeddings, shared by every part's decoder
         # (the packed layout IS the channel concat); broadcast per part
         ge = jnp.tile(embed, (1, 1, 1, P))  # (B, 13, 13, P*(P*3))
         # decoder bottleneck per part: [x9 (96), global code (72)]
         out = PartDecoder(parts=P, dec_nc=(96, 48, 24, 12),
+                          impl=self.conv_impl,
                           dtype=self.dtype)(skips, bottleneck=[ge])
         return unpack_parts(out, P)

@@ -59,6 +59,15 @@ class PartConv(nn.Module):
     onto the block diagonal at apply time, so off-diagonal weights do not
     exist — parts are exactly independent, like the reference's 24
     separate networks.
+
+    Lowering is selectable (identical parameters and numerics either way):
+      * ``impl="dense"`` (default): the block-diagonal dense conv described
+        above — larger matmul, but flat activations; the right choice for
+        TRAINING, where the grouped form's lane padding blew activation
+        memory 10.7x (TUNING.md).
+      * ``impl="groups"``: XLA ``feature_group_count=P`` — ~P x fewer MACs;
+        the right choice for batch-1 INFERENCE, where activations are small
+        and the dense form's extra FLOPs dominate instead.
     """
 
     parts: int
@@ -66,6 +75,7 @@ class PartConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     use_bias: bool = True
+    impl: str = "dense"  # "dense" | "groups"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -79,17 +89,30 @@ class PartConv(nn.Module):
             nn.initializers.variance_scaling(
                 1.0, "fan_in", "truncated_normal"),
             (P, k, k, cin, cout))
-        idx = jnp.arange(P)
-        dense = jnp.zeros((P, k, k, cin, P, cout), w.dtype)
-        dense = dense.at[idx, :, :, :, idx, :].set(w)
-        dense = jnp.transpose(dense, (1, 2, 0, 3, 4, 5)).reshape(
-            k, k, P * cin, P * cout)
-        dense = dense.astype(self.dtype or x.dtype)
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype), dense,
-            window_strides=(self.stride, self.stride),
-            padding=[(k // 2, k // 2)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.impl == "groups":
+            # group-major output channels == the dense form's part-major
+            # layout, so outputs (and params) are interchangeable
+            kern = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(
+                k, k, cin, P * cout)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype or x.dtype),
+                kern.astype(self.dtype or x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=P)
+        else:
+            idx = jnp.arange(P)
+            dense = jnp.zeros((P, k, k, cin, P, cout), w.dtype)
+            dense = dense.at[idx, :, :, :, idx, :].set(w)
+            dense = jnp.transpose(dense, (1, 2, 0, 3, 4, 5)).reshape(
+                k, k, P * cin, P * cout)
+            dense = dense.astype(self.dtype or x.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype or x.dtype), dense,
+                window_strides=(self.stride, self.stride),
+                padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (P * cout,))
             out = out + b.astype(out.dtype)
@@ -111,6 +134,7 @@ class GroupConvLReLU(nn.Module):
     stride: int = 1
     act: bool = True
     negative_slope: float = 0.2
+    impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -119,7 +143,8 @@ class GroupConvLReLU(nn.Module):
         for i, x in enumerate(inputs):
             y = PartConv(
                 self.parts, self.features, kernel=self.kernel,
-                stride=self.stride, use_bias=(i == 0), dtype=self.dtype,
+                stride=self.stride, use_bias=(i == 0), impl=self.impl,
+                dtype=self.dtype,
             )(x)
             out = y if out is None else out + y
         if self.act:
@@ -134,13 +159,14 @@ class PartEncoder(nn.Module):
 
     parts: int = 24
     enc_nc: Sequence[int] = ENC_NC
+    impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         P, nc = self.parts, self.enc_nc
         C = lambda f, k=3, s=1: GroupConvLReLU(
-            P, f, kernel=k, stride=s, dtype=self.dtype)
+            P, f, kernel=k, stride=s, impl=self.impl, dtype=self.dtype)
         x1 = C(nc[0], k=5)(x)
         x2 = C(nc[1], s=2)(x1)
         x3 = C(nc[2])(x2)
@@ -161,6 +187,7 @@ class PartDecoder(nn.Module):
 
     parts: int = 24
     dec_nc: Sequence[int] = (48, 24, 12, 6)
+    impl: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -176,8 +203,10 @@ class PartDecoder(nn.Module):
             size = skip.shape[1]
             ups = [resize_bilinear(x, (size, size), align_corners=True)
                    for x in xs]
-            xs = [GroupConvLReLU(P, feat, dtype=self.dtype)(*ups, skip)]
-        return GroupConvLReLU(P, 3, act=False, dtype=self.dtype)(xs[0])
+            xs = [GroupConvLReLU(P, feat, impl=self.impl,
+                                 dtype=self.dtype)(*ups, skip)]
+        return GroupConvLReLU(P, 3, act=False, impl=self.impl,
+                              dtype=self.dtype)(xs[0])
 
 
 def pack_parts(x: jnp.ndarray) -> jnp.ndarray:

@@ -51,8 +51,9 @@ class JAFProPipeline:
 
     def __post_init__(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        self.accu = AccumulateLSTM(dtype=dtype)
-        self.inpaint = UNetInpainter(dtype=dtype)
+        impl = self.cfg.part_conv_impl
+        self.accu = AccumulateLSTM(conv_impl=impl, dtype=dtype)
+        self.inpaint = UNetInpainter(conv_impl=impl, dtype=dtype)
         self.bg = CRNSmaller(fg=False, dtype=dtype)
         self.refine = CRNSmaller(fg=True, dtype=dtype)
         self.pro = Propagation3DFlowNet(dtype=dtype)

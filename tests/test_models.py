@@ -198,3 +198,30 @@ def test_accumulate_gru_ablation():
         params = m.init(KEY, parts, mask)
         out = m.apply(params, parts, mask)
         assert out.shape == (1, 4, 16, 16, 3)
+
+
+def test_part_conv_impls_equivalent():
+    """The dense block-diagonal and grouped-conv lowerings share one
+    parameter tree and produce identical outputs (models/parts.py)."""
+    from jafpro_tpu.models.parts import PartConv
+
+    x = jax.random.normal(KEY, (2, 8, 8, 4 * 5))
+    dense = PartConv(parts=4, features=6, impl="dense")
+    groups = PartConv(parts=4, features=6, impl="groups")
+    params = dense.init(KEY, x)
+    np.testing.assert_allclose(
+        np.asarray(dense.apply(params, x)),
+        np.asarray(groups.apply(params, x)), atol=1e-5)
+
+
+def test_accumulate_impls_equivalent():
+    from jafpro_tpu.models.accumulate import AccumulateLSTM
+
+    parts = jax.random.normal(KEY, (1, 2, 3, 16, 16, 3))
+    mask = jnp.ones((1, 2))
+    dense = AccumulateLSTM(conv_impl="dense")
+    groups = AccumulateLSTM(conv_impl="groups")
+    params = dense.init(KEY, parts, mask)
+    np.testing.assert_allclose(
+        np.asarray(dense.apply(params, parts, mask)),
+        np.asarray(groups.apply(params, parts, mask)), atol=2e-5)
