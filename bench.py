@@ -33,7 +33,7 @@ def main():
 
     cfg = Config(image_size=S, part_size=p, maximum_ref_frames=R,
                  compute_dtype="bfloat16",
-                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "groups"))
+                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "dense"))
     path = default_smpl_faces_path()
     if path is not None:
         faces = np.load(path).astype(np.int32)

@@ -65,9 +65,10 @@ class PartConv(nn.Module):
         above — larger matmul, but flat activations; the right choice for
         TRAINING, where the grouped form's lane padding blew activation
         memory 10.7x (TUNING.md).
-      * ``impl="groups"``: XLA ``feature_group_count=P`` — ~P x fewer MACs;
-        the right choice for batch-1 INFERENCE, where activations are small
-        and the dense form's extra FLOPs dominate instead.
+      * ``impl="groups"``: XLA ``feature_group_count=P`` — ~P x fewer
+        MACs on paper, but the lane-padded small groups run SLOWER end to
+        end on v5e (28.5 vs 43.1 frames/s measured); kept as a selectable
+        lowering for other shapes/hardware.
     """
 
     parts: int
