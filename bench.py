@@ -75,6 +75,16 @@ def main():
     gen = VideoGenerator(
         pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")))
 
+    # BENCH_CLIPS > 1: serving throughput — generate a batch of independent
+    # clips in one program (vmap over clips; per-frame scan batches across
+    # clips at each step).  Metric stays frames/sec/chip (aggregate).
+    n_clips = int(os.environ.get("BENCH_CLIPS", "1"))
+    if n_clips > 1:
+        clip = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * n_clips), clip)
+        single_gen = gen
+        gen = lambda p_, c_: single_gen.generate_batch(p_, c_)
+
     # Chain iterations through a data dependency and time to a full host
     # fetch: on remote-tunnel runtimes block_until_ready can return early,
     # so only the (t_chained - t_single) delta measures device time.
@@ -101,7 +111,7 @@ def main():
     tn = run(1 + n_iters)
     dt = max((tn - t1) / n_iters, 1e-9)
 
-    fps = T / dt
+    fps = T * n_clips / dt
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
