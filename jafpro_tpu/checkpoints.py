@@ -41,12 +41,22 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Dict[str, Any]) -> str:
 
 
 def restore_checkpoint(
-    ckpt_dir: str, step: int, target: Dict[str, Any]
+    ckpt_dir: str, step: int, target: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:
+    """Restore ``iter_<step>``.  With ``target=None`` the checkpoint is
+    restored as saved (raw nested dict) — the inference path uses this so it
+    never has to reconstruct the trainer's optimizer tree (the round-1
+    save/restore asymmetry: train saves {params, opt_states, step} while
+    infer only wants params)."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"iter_{step}")
     if _HAVE_ORBAX:
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, target)
+        return ckptr.restore(path) if target is None else \
+            ckptr.restore(path, target)
+    if target is None:
+        raise ValueError(
+            "restore_checkpoint(target=None) requires orbax (the numpy "
+            "fallback stores no tree structure)")
     flat, treedef = jax.tree_util.tree_flatten(target)
     data = np.load(os.path.join(path, "state.npz"))
     restored = [data[k] for k in data.files]

@@ -36,15 +36,108 @@ def _build_pipeline(cfg, synthetic: bool):
     return JAFProPipeline(cfg), None
 
 
+def _make_step(pipe, stage: int):
+    if stage == 1:
+        from jafpro_tpu.train.stage1 import make_stage1_step, stage1_lrs
+        return make_stage1_step(pipe), stage1_lrs()
+    if stage == 2:
+        from jafpro_tpu.train.stage2 import make_stage2_step, stage2_lrs
+        return make_stage2_step(pipe), stage2_lrs()
+    if stage == 3:
+        from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
+        return make_stage3_step(pipe), stage3_lrs()
+    from jafpro_tpu.train.stage34 import make_stage4_step, stage4_lrs
+    return make_stage4_step(pipe), stage4_lrs()
+
+
+def _shard_paths(shards: str) -> list:
+    import glob
+
+    if os.path.isdir(shards):
+        paths = sorted(glob.glob(os.path.join(shards, "*.shard")))
+    else:
+        paths = sorted(glob.glob(shards))
+    if not paths:
+        raise FileNotFoundError(f"no .shard files match {shards}")
+    return paths
+
+
+def _raw_batch_source(args, cfg, rng, verts):
+    """Returns a callable yielding stacked *raw* batches (pre-curriculum).
+
+    Three sources, in priority order: --shards (the native prefetching
+    reader — the intended production path), --synthetic (random tensors),
+    or per-sample cv2 loads (the reference DataLoader equivalent, for small
+    runs without packing)."""
+    from jafpro_tpu.train.common import synthetic_batch
+
+    if args.shards:
+        from jafpro_tpu.data.shardio import (
+            ShardReader, collapse_target_dims, stage_spec)
+
+        spec = stage_spec(
+            args.stage, num_refs=cfg.maximum_ref_frames,
+            num_target=cfg.num_target, image_size=cfg.image_size,
+            part_size=cfg.part_size, num_parts=cfg.num_parts,
+            num_verts=verts.shape[0] if verts is not None else cfg.num_verts)
+        reader = ShardReader(
+            spec, _shard_paths(args.shards), batch=cfg.batch_size,
+            prefetch=4, threads=2, seed=args.seed, shuffle=True, loop=True)
+        print(f"shard reader: {reader.num_records} records")
+        return lambda: collapse_target_dims(spec, next(reader))
+
+    if args.synthetic:
+        def synth():
+            b = synthetic_batch(
+                rng, batch=cfg.batch_size, num_refs=cfg.maximum_ref_frames,
+                part_size=cfg.part_size, image_size=cfg.image_size,
+                num_verts=verts.shape[0])
+            b["prev_verts"] = np.tile(verts[None], (cfg.batch_size, 1, 1))
+            b["tgt_verts"] = b["prev_verts"] + np.float32([0.02, 0, 0])
+            return b
+        return synth
+
+    from jafpro_tpu.data.dataset import (
+        list_videos, load_interval_sample, load_textonly_sample)
+
+    vids = list_videos(cfg.data_root, "train")
+    if not vids:
+        raise FileNotFoundError(
+            f"no training videos under {cfg.data_root}/train "
+            "(set JAFPRO_DATA_ROOT, pass --shards, or use --synthetic)")
+
+    def load():
+        samples = []
+        for _ in range(cfg.batch_size):
+            vid = vids[rng.randint(len(vids))]
+            if args.stage <= 2:
+                s = load_textonly_sample(
+                    os.path.join(cfg.data_root, "train"), vid, rng,
+                    cfg.maximum_ref_frames, cfg.num_target)
+            else:
+                s = load_interval_sample(
+                    os.path.join(cfg.data_root, "train"),
+                    os.path.join(cfg.smpl_root, "train"),
+                    os.path.join(cfg.mask_root, "train"),
+                    vid, rng, cfg.maximum_ref_frames, 1)
+                for k in ("src_imgs", "src_cams", "src_verts",
+                          "src_frame_indices"):
+                    s[k] = s[k][None]  # align to the (B, R, ...) layout
+            samples.append(s)
+        return {k: np.concatenate([s[k] for s in samples])
+                for k in samples[0]}
+    return load
+
+
 def cmd_train(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from jafpro_tpu.checkpoints import save_checkpoint
+    from jafpro_tpu.checkpoints import (
+        latest_step, restore_checkpoint, save_checkpoint)
     from jafpro_tpu.config import get_general_options
     from jafpro_tpu.train import TrainState
-    from jafpro_tpu.train.common import (
-        sample_reference_curriculum, synthetic_batch)
+    from jafpro_tpu.train.common import apply_curriculum
     from jafpro_tpu.utils import Logger, step_timer
 
     cfg = get_general_options()
@@ -54,6 +147,8 @@ def cmd_train(args) -> None:
         cfg.face_crop_size = 16
         cfg.compute_dtype = "float32"
         cfg.maximum_ref_frames = 2
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
     if args.debug:
         cfg.model_save_interval = 3
         cfg.vis_interval = 3
@@ -61,76 +156,44 @@ def cmd_train(args) -> None:
     pipe, verts = _build_pipeline(cfg, args.synthetic)
     params = pipe.init_params(jax.random.PRNGKey(args.seed))
 
-    if args.stage == 1:
-        from jafpro_tpu.train.stage1 import make_stage1_step, stage1_lrs
-        step_fn, lrs = make_stage1_step(pipe), stage1_lrs()
-    elif args.stage == 2:
-        from jafpro_tpu.train.stage2 import make_stage2_step, stage2_lrs
-        step_fn, lrs = make_stage2_step(pipe), stage2_lrs()
-    elif args.stage == 3:
-        from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
-        step_fn, lrs = make_stage3_step(pipe), stage3_lrs()
-    else:
-        from jafpro_tpu.train.stage34 import make_stage4_step, stage4_lrs
-        step_fn, lrs = make_stage4_step(pipe), stage4_lrs()
-
+    step_fn, lrs = _make_step(pipe, args.stage)
     state = TrainState.create(params, lrs)
-    step = jax.jit(step_fn)
 
     ckpt_dir = os.path.join(cfg.model_save_dir, args.exp_name)
+    start_it = 0
+    if args.resume:
+        prev = latest_step(ckpt_dir)
+        if prev is not None:
+            target = {"params": state.params,
+                      "opt_states": state.opt_states,
+                      "step": state.step}
+            restored = restore_checkpoint(ckpt_dir, prev, target)
+            state = TrainState(
+                params=restored["params"], opt_states=restored["opt_states"],
+                txs=state.txs, step=jnp.asarray(restored["step"]))
+            start_it = prev + 1
+            print(f"resumed from {ckpt_dir}/iter_{prev}")
+
+    if args.num_devices and args.num_devices > 1:
+        from jafpro_tpu.parallel import create_mesh, data_parallel_jit
+
+        if cfg.batch_size % args.num_devices:
+            raise SystemExit(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"--num-devices {args.num_devices}")
+        mesh = create_mesh(args.num_devices, ("data",))
+        step = data_parallel_jit(step_fn, mesh)
+        print(f"data-parallel over {args.num_devices} devices")
+    else:
+        step = jax.jit(step_fn)
+
     logger = Logger(ckpt_dir)
-    rng = np.random.RandomState(args.seed)
+    rng = np.random.RandomState(args.seed + start_it)
+    next_raw = _raw_batch_source(args, cfg, rng, verts)
 
-    for it in range(args.iters):
-        if args.synthetic:
-            b = synthetic_batch(
-                rng, batch=cfg.batch_size, num_refs=cfg.maximum_ref_frames,
-                part_size=cfg.part_size, image_size=cfg.image_size,
-                num_verts=verts.shape[0])
-            b["prev_verts"] = np.tile(verts[None], (cfg.batch_size, 1, 1))
-            b["tgt_verts"] = b["prev_verts"] + np.float32([0.02, 0, 0])
-        else:
-            from jafpro_tpu.data.dataset import (
-                list_videos, load_interval_sample, load_textonly_sample)
-
-            vids = list_videos(cfg.data_root, "train")
-            if not vids:
-                raise FileNotFoundError(
-                    f"no training videos under {cfg.data_root}/train "
-                    "(set JAFPRO_DATA_ROOT or use --synthetic)")
-            from jafpro_tpu.train.common import sample_reference_curriculum
-
-            samples = []
-            for _ in range(cfg.batch_size):
-                vid = vids[rng.randint(len(vids))]
-                if args.stage <= 2:
-                    s = load_textonly_sample(
-                        os.path.join(cfg.data_root, "train"), vid, rng,
-                        cfg.maximum_ref_frames, cfg.num_target)
-                else:
-                    s = load_interval_sample(
-                        os.path.join(cfg.data_root, "train"),
-                        os.path.join(cfg.smpl_root, "train"),
-                        os.path.join(cfg.mask_root, "train"),
-                        vid, rng, cfg.maximum_ref_frames, 1)
-                    # curriculum: subset of references + propagation source
-                    mask, prosrc = sample_reference_curriculum(
-                        rng, cfg.maximum_ref_frames)
-                    s["ref_mask"] = mask[None]
-                    s["prev_img"] = s["src_imgs"][prosrc][None]
-                    s["prev_cam"] = s["src_cams"][prosrc][None]
-                    s["prev_verts"] = s["src_verts"][prosrc][None]
-                    for k in ("src_imgs", "src_cams", "src_verts",
-                              "src_frame_indices"):
-                        s.pop(k)
-                samples.append(s)
-            b = {k: np.concatenate([s[k] for s in samples])
-                 for k in samples[0]}
-        if args.synthetic:
-            masks, prosrcs = zip(*[
-                sample_reference_curriculum(rng, cfg.maximum_ref_frames)
-                for _ in range(cfg.batch_size)])
-            b["ref_mask"] = np.stack(masks)
+    for it in range(start_it, start_it + args.iters):
+        b = apply_curriculum(dict(next_raw()), args.stage, rng,
+                             cfg.maximum_ref_frames)
         batch = {k: jnp.asarray(v) for k, v in b.items()}
 
         with step_timer() as t:
@@ -143,7 +206,12 @@ def cmd_train(args) -> None:
 
         if it > 0 and it % cfg.model_save_interval == 0:
             save_checkpoint(ckpt_dir, it, {
-                "params": state.params, "opt_states": state.opt_states})
+                "params": state.params, "opt_states": state.opt_states,
+                "step": state.step})
+    last = start_it + args.iters - 1
+    save_checkpoint(ckpt_dir, max(last, 0), {
+        "params": state.params, "opt_states": state.opt_states,
+        "step": state.step})
     print("Training Done.")
 
 
@@ -161,28 +229,26 @@ def cmd_infer(args) -> None:
     ckpt_dir = os.path.join(cfg.model_save_dir, args.exp_name)
     step = latest_step(ckpt_dir)
     if step is not None:
-        restored = restore_checkpoint(ckpt_dir, step, {"params": params})
-        params = restored["params"]
+        # raw restore: the checkpoint holds {params, opt_states, step} as
+        # written by cmd_train; inference takes the params subtree without
+        # reconstructing the trainer's optimizer target tree
+        params = restore_checkpoint(ckpt_dir, step)["params"]
+        print(f"restored {ckpt_dir}/iter_{step}")
 
     gen = VideoGenerator(pipe)
     import cv2
     import jax.numpy as jnp
 
-    for vid in list_videos(cfg.data_root, "test"):
-        clip_np = load_clip(
-            os.path.join(cfg.data_root, "test"),
-            os.path.join(cfg.smpl_root, "test"),
-            os.path.join(cfg.mask_root, "test"),
-            vid, num_refs=args.num_refs)
-        clip = {k: jnp.asarray(v) for k, v in clip_np.items()
-                if k not in ("gt_frames", "vid_name")}
-        out = gen(params, clip)
+    def write_frames(vid, out, clip_idx=None):
+        pick = (lambda x: x[clip_idx]) if clip_idx is not None else \
+            (lambda x: x)
         save_dir = os.path.join(cfg.test_save_dir, args.exp_name, vid)
         os.makedirs(save_dir, exist_ok=True)
-        finals = frames_to_uint8(out["final"])
-        coarse = frames_to_uint8(out["coarse"])
-        tsf = frames_to_uint8(out["tsf"])
-        masks = np.clip(np.asarray(out["mask"]) * 255, 0, 255).astype(np.uint8)
+        finals = frames_to_uint8(pick(out["final"]))
+        coarse = frames_to_uint8(pick(out["coarse"]))
+        tsf = frames_to_uint8(pick(out["tsf"]))
+        masks = np.clip(np.asarray(pick(out["mask"])) * 255, 0,
+                        255).astype(np.uint8)
         for i in range(finals.shape[0]):
             cv2.imwrite(os.path.join(save_dir, f"frame_{i:03d}.jpg"), finals[i])
             cv2.imwrite(os.path.join(save_dir, f"coarse_frame_{i:03d}.jpg"),
@@ -192,13 +258,85 @@ def cmd_infer(args) -> None:
             cv2.imwrite(os.path.join(save_dir, f"tsf_frame_{i:03d}.jpg"),
                         tsf[i])
         print("wrote", save_dir)
+
+    def load_one(vid):
+        clip_np = load_clip(
+            os.path.join(cfg.data_root, "test"),
+            os.path.join(cfg.smpl_root, "test"),
+            os.path.join(cfg.mask_root, "test"),
+            vid, num_refs=args.num_refs)
+        return {k: jnp.asarray(v) for k, v in clip_np.items()
+                if k not in ("gt_frames", "vid_name")}
+
+    vids = list_videos(cfg.data_root, "test")
+    nd = max(args.num_devices, 1)
+    if nd > 1:
+        # whole-clip data parallelism: nd clips per device program
+        from jafpro_tpu.parallel import create_mesh
+
+        mesh = create_mesh(nd, ("data",))
+        for start in range(0, len(vids) - len(vids) % nd, nd):
+            group = vids[start:start + nd]
+            clips = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[load_one(v) for v in group])
+            out = gen.generate_batch(params, clips, mesh=mesh)
+            for ci, vid in enumerate(group):
+                write_frames(vid, out, clip_idx=ci)
+        vids = vids[len(vids) - len(vids) % nd:]  # remainder: single path
+    for vid in vids:
+        out = gen(params, load_one(vid))
+        write_frames(vid, out)
     print("Testing Done.")
+
+
+def _metric_hooks(image_size: int = 256):
+    """Build the VGG-perceptual and FlowNetSD flow-consistency hooks for
+    ``evaluate_video`` (the reference logs all six metrics,
+    ``test/video_evaluation.py:184-246``).
+
+    Pretrained weights are converted from torch checkpoints when the env
+    vars ``JAFPRO_VGG19_WEIGHTS`` / ``JAFPRO_FLOWNETSD_WEIGHTS`` point at
+    them; otherwise fixed-seed random filters are used (still a valid
+    relative metric — random-feature perceptual distances rank the same
+    orderings — and documented so numbers are reproducible)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jafpro_tpu.models.flownet import FlowNetSD, load_torch_flownet_sd
+    from jafpro_tpu.models.vgg import VGG19Features, load_torch_vgg19
+
+    vgg = VGG19Features()
+    vp = os.environ.get("JAFPRO_VGG19_WEIGHTS", "")
+    if vp and os.path.exists(vp):
+        vgg_vars = load_torch_vgg19(vp)
+    else:
+        vgg_vars = vgg.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+    flow = FlowNetSD()
+    fp = os.environ.get("JAFPRO_FLOWNETSD_WEIGHTS", "")
+    if fp and os.path.exists(fp):
+        flow_vars = load_torch_flownet_sd(fp)
+    else:
+        flow_vars = flow.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 64, 64, 6), jnp.float32))
+
+    def flow_apply(variables, pairs):
+        return flow.apply(variables, pairs)
+
+    return {
+        "vgg_apply": vgg.apply, "vgg_params": vgg_vars,
+        "flow_apply": flow_apply, "flow_params": flow_vars,
+    }
 
 
 def cmd_evaluate(args) -> None:
     import cv2
 
     from jafpro_tpu.evaluate import evaluate_video
+
+    hooks = {} if args.no_deep_metrics else _metric_hooks()
 
     def read_frames(d):
         names = sorted(n for n in os.listdir(d)
@@ -217,7 +355,7 @@ def cmd_evaluate(args) -> None:
         pd, gd = os.path.join(args.pred, vid), os.path.join(args.gt, vid)
         if not (os.path.isdir(pd) and os.path.isdir(gd)):
             continue
-        m = evaluate_video(read_frames(pd), read_frames(gd))
+        m = evaluate_video(read_frames(pd), read_frames(gd), **hooks)
         results.append(m)
         print(vid, {k: round(v, 4) for k, v in m.items()})
     if results:
@@ -238,7 +376,7 @@ def cmd_pack(args) -> None:
     cfg = get_general_options()
     n = pack_dancevideo(
         cfg.data_root, cfg.smpl_root, cfg.mask_root,
-        args.out, mode=args.mode,
+        args.out, mode=args.mode, kind=args.kind,
         samples_per_video=args.samples_per_video,
         num_refs=args.num_refs, seed=args.seed)
     print(f"packed {n} samples into {args.out}")
@@ -255,16 +393,31 @@ def main(argv: Optional[list] = None) -> None:
     t.add_argument("--synthetic", action="store_true")
     t.add_argument("--iters", type=int, default=10)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--batch-size", type=int, default=0,
+                   help="override cfg.batch_size (0 = reference default)")
+    t.add_argument("--num-devices", type=int, default=0,
+                   help="data-parallel mesh size (0/1 = single device)")
+    t.add_argument("--shards", default="",
+                   help="packed-shard dir or glob (see the pack subcommand); "
+                   "training then streams through the native reader")
+    t.add_argument("--resume", action="store_true",
+                   help="resume params+optimizer+step from the latest "
+                   "checkpoint in the experiment dir")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer")
     i.add_argument("--exp_name", "-e", default="exp")
     i.add_argument("--num_refs", "-n", type=int, default=4)
+    i.add_argument("--num-devices", type=int, default=0,
+                   help="shard whole clips across a data-parallel mesh "
+                   "(serving scale-out; 0/1 = single device)")
     i.set_defaults(fn=cmd_infer)
 
     e = sub.add_parser("evaluate")
     e.add_argument("--pred", required=True)
     e.add_argument("--gt", required=True)
+    e.add_argument("--no-deep-metrics", action="store_true",
+                   help="skip the VGG/FlowNetSD hooks (4 fast metrics only)")
     e.set_defaults(fn=cmd_evaluate)
 
     k = sub.add_parser(
@@ -273,6 +426,9 @@ def main(argv: Optional[list] = None) -> None:
         "images per sample)")
     k.add_argument("--out", required=True)
     k.add_argument("--mode", default="train", choices=["train", "test"])
+    k.add_argument("--kind", default="interval",
+                   choices=["interval", "textonly"],
+                   help="interval = stage-3/4 records, textonly = stage-1/2")
     k.add_argument("--samples_per_video", type=int, default=4)
     k.add_argument("--num_refs", type=int, default=4)
     k.add_argument("--seed", type=int, default=0)

@@ -43,22 +43,27 @@ def compute_angle(iuv255: np.ndarray) -> float:
 def select_reference_frames(angles: np.ndarray, num_refs: int) -> np.ndarray:
     """Pick reference frame indices covering the orientation range.
 
-    angles: (T,) per-frame yaw.  Returns sorted-by-rule indices (num_refs,).
+    The single canonical picker, matching ``src/data.py:506-527`` exactly:
+    n=1 -> most frontal (min |angle|); n in (2, 3) -> [argmax, median,
+    argmin][:n]; n=4 -> [argmax, 33%, 66%, argmin] of the ascending sort;
+    n=5 -> [argmax, 25%, 50%, 75%, argmin].  ``dataset.select_frames_by_angle``
+    is an alias of this function.
     """
-    order = np.argsort(angles)  # ascending
+    angles = np.asarray(angles)
     T = len(angles)
+    order = np.argsort(angles)  # ascending
     if num_refs == 1:
-        # most frontal = angle closest to 0
         return np.array([int(np.argmin(np.abs(angles)))])
-    if num_refs == 2:
-        return np.array([int(order[-1]), int(order[0])])
-    if num_refs == 3:
-        return np.array([int(order[-1]), int(order[T // 2]), int(order[0])])
     if num_refs == 4:
-        return np.array([
-            int(order[-1]), int(order[(2 * T) // 3]), int(order[T // 3]),
-            int(order[0]),
-        ])
-    # 5+: quantiles of the sorted order
+        return np.array([int(np.argmax(angles)), int(order[T // 3]),
+                         int(order[(2 * T) // 3]), int(np.argmin(angles))])
+    if num_refs < 4:
+        return np.array([int(np.argmax(angles)), int(order[T // 2]),
+                         int(np.argmin(angles))])[:num_refs]
+    if num_refs == 5:
+        return np.array([int(np.argmax(angles)), int(order[T // 4]),
+                         int(order[T // 2]), int(order[(3 * T) // 4]),
+                         int(np.argmin(angles))])
+    # >5 (beyond the reference's cases): evenly spaced quantiles, extremes first
     qs = np.linspace(T - 1, 0, num_refs).round().astype(int)
     return np.array([int(order[q]) for q in qs])

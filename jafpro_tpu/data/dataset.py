@@ -27,8 +27,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from jafpro_tpu.data.angles import compute_angle
-from jafpro_tpu.data.texture import masks_to_atlas
+from jafpro_tpu.data.angles import compute_angle, select_reference_frames
+from jafpro_tpu.data.texture import masks_to_atlas, transfer_texture
 
 
 def _frame_number(path: str) -> int:
@@ -65,22 +65,9 @@ def _imread(path: str) -> np.ndarray:
     return img
 
 
-def select_frames_by_angle(angles: np.ndarray, num_inputs: int) -> np.ndarray:
-    """Reference frame picker (``src/data.py:499-528``)."""
-    T = len(angles)
-    order = np.argsort(angles)
-    if num_inputs == 1:
-        return np.array([int(np.argmin(np.abs(angles)))])
-    if num_inputs == 4:
-        return np.array([int(np.argmax(angles)), int(order[T // 3]),
-                         int(order[(2 * T) // 3]), int(np.argmin(angles))])
-    if num_inputs < 4:
-        return np.array([int(np.argmax(angles)), int(order[T // 2]),
-                         int(np.argmin(angles))])[:num_inputs]
-    # 5
-    return np.array([int(np.argmax(angles)), int(order[T // 4]),
-                     int(order[T // 2]), int(order[(3 * T) // 4]),
-                     int(np.argmin(angles))])
+# Canonical reference frame picker (``src/data.py:499-528``) lives in
+# jafpro_tpu.data.angles; this alias keeps the historical dataset-local name.
+select_frames_by_angle = select_reference_frames
 
 
 def load_clip(
@@ -266,10 +253,27 @@ def load_interval_sample(
     bg_incomplete = (1 - in_image) * src_img[0] + in_image * rng.randn(
         *src_img[0].shape).astype(np.float32)
 
+    # reference stage-3/4 mask fields (``src/data.py:680-720``).  Live
+    # consumer status in the reference trainers: src_mask_in_image[0] feeds
+    # bg_incomplete (already baked in above, train/4:230-231); face_mask and
+    # image_inpaint_area are produced and moved to device but reach no loss
+    # (train/3:213-220, train/4:224-228) — emitted here for contract parity.
+    face_mask = np.isin(tgt_iuv255[0, ..., 0], (23, 24)).astype(np.float32)
+    src_mask_in_image = (src_iuv255[..., 0] > 0).astype(np.float32)
+    union_atlas = masks_to_atlas(mask_parts.max(axis=0))
+    src_area = transfer_texture(
+        union_atlas.astype(np.float32), tgt_iuv255[0])
+    tgt_mask_in_image = (tgt_iuv255[0, ..., 0] > 0).astype(np.float32)
+    image_inpaint_area = np.logical_xor(
+        tgt_mask_in_image > 0, src_area > 0).astype(np.float32)
+
     return {
         "src_parts": src_parts[None],
         "src_mask_parts": mask_parts[None],
         "ref_mask": np.ones((1, num_inputs), np.float32),
+        "face_mask": face_mask[None, ..., None],          # (1, S, S, 1)
+        "src_mask_in_image": src_mask_in_image[None],     # (1, R, S, S)
+        "image_inpaint_area": image_inpaint_area[None],   # (1, S, S)
         "tgt_iuv255": tgt_iuv255[:1],  # (1, S, S, 3)
         "tgt_iuv": ((tgt_iuv255[0] / 255.0 - 0.5) * 2.0)[None],
         "tgt_img": tgt_img[:1],

@@ -172,30 +172,86 @@ def interval_spec(num_refs: int = 4, image_size: int = 256,
     ]
 
 
+# interval-record fields stored with a leading singleton target dim; the
+# training-step contract is (B, ...) for these (the per-sample loader path
+# gets there by concatenating the (1, ...) samples)
+_SINGLE_TARGET_FIELDS = frozenset({
+    "tgt_iuv255", "tgt_iuv", "tgt_img", "src_img_first", "bg_incomplete",
+    "smpl_mask", "face_bbox", "tgt_cam", "tgt_verts"})
+
+
+def collapse_target_dims(spec: Spec, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Merge each record's singleton target dim into the batch dim (the
+    fields in ``_SINGLE_TARGET_FIELDS``); per-reference (R, ...) and
+    multi-target (T, ...) fields keep their axis."""
+    out = {}
+    for name, shape, _ in spec:
+        v = batch[name]
+        if name in _SINGLE_TARGET_FIELDS:
+            v = v.reshape((v.shape[0],) + tuple(shape)[1:])
+        out[name] = v
+    return out
+
+
+def textonly_spec(num_refs: int = 4, num_target: int = 3,
+                  part_size: int = 200, num_parts: int = 24) -> Spec:
+    """Record layout for stage-1/2 (texture-only) training samples."""
+    p, P, R, T = part_size, num_parts, num_refs, num_target
+    return [
+        ("src_parts", (R, P, p, p, 3), "float32"),
+        ("src_mask_parts", (R, P, p, p), "float32"),
+        ("tgt_parts", (T, P, p, p, 3), "float32"),
+        ("tgt_mask_parts", (T, P, p, p), "float32"),
+    ]
+
+
+def stage_spec(stage: int, num_refs: int = 4, num_target: int = 3,
+               image_size: int = 256, part_size: int = 200,
+               num_parts: int = 24, num_verts: int = 6890) -> Spec:
+    """The shard record layout a given training stage consumes."""
+    if stage <= 2:
+        return textonly_spec(num_refs=num_refs, num_target=num_target,
+                             part_size=part_size, num_parts=num_parts)
+    return interval_spec(num_refs=num_refs, image_size=image_size,
+                         part_size=part_size, num_parts=num_parts,
+                         num_verts=num_verts)
+
+
 def pack_dancevideo(
     data_root: str, smpl_root: str, mask_root: str, out_dir: str,
     mode: str = "train", samples_per_video: int = 4, num_refs: int = 4,
-    seed: int = 0, num_verts: int = 6890,
+    seed: int = 0, num_verts: int = 6890, kind: str = "interval",
+    num_target: int = 3,
 ) -> int:
-    """Pre-pack interval training samples into shards so training reads
-    through the native prefetching reader instead of per-step cv2 decodes
-    (the reference's throughput bottleneck, SURVEY.md §7)."""
+    """Pre-pack training samples into shards so training reads through the
+    native prefetching reader instead of per-step cv2 decodes (the
+    reference's throughput bottleneck, SURVEY.md §7).  ``kind='interval'``
+    packs stage-3/4 records, ``kind='textonly'`` stage-1/2 records."""
     import os
 
-    from jafpro_tpu.data.dataset import list_videos, load_interval_sample
+    from jafpro_tpu.data.dataset import (
+        list_videos, load_interval_sample, load_textonly_sample)
 
     rng = np.random.RandomState(seed)
-    spec = interval_spec(num_refs=num_refs, num_verts=num_verts)
+    if kind == "textonly":
+        spec = textonly_spec(num_refs=num_refs, num_target=num_target)
+    else:
+        spec = interval_spec(num_refs=num_refs, num_verts=num_verts)
     os.makedirs(out_dir, exist_ok=True)
 
     def gen():
         for vid in list_videos(data_root, mode):
             for _ in range(samples_per_video):
-                s = load_interval_sample(
-                    os.path.join(data_root, mode),
-                    os.path.join(smpl_root, mode),
-                    os.path.join(mask_root, mode),
-                    vid, rng, num_refs, 1)
+                if kind == "textonly":
+                    s = load_textonly_sample(
+                        os.path.join(data_root, mode), vid, rng,
+                        num_refs, num_target)
+                else:
+                    s = load_interval_sample(
+                        os.path.join(data_root, mode),
+                        os.path.join(smpl_root, mode),
+                        os.path.join(mask_root, mode),
+                        vid, rng, num_refs, 1)
                 rec = {}
                 for name, shape, dtype in spec:
                     v = s[name]
@@ -205,4 +261,4 @@ def pack_dancevideo(
                 yield rec
 
     return pack_shard(
-        spec, gen(), os.path.join(out_dir, f"{mode}-00000.shard"))
+        spec, gen(), os.path.join(out_dir, f"{mode}-{kind}-00000.shard"))

@@ -155,6 +155,30 @@ def iuv_to_part_masks(
     return out
 
 
+def transfer_texture(
+    atlas: np.ndarray, iuv255: np.ndarray, part_size: int = 200
+) -> np.ndarray:
+    """Host-side nearest-neighbor atlas -> image warp (reference
+    ``TransferTexture``, ``src/utils.py:369-394``): per target pixel, round
+    its UV to the 200px tile grid of its DensePose part and copy that texel.
+
+    atlas: (4p, 6p[, C]); iuv255: (S, S, 3) with part index in channel 0.
+    Returns (S, S[, C]) with zeros at background, same dtype as atlas.
+    """
+    p = part_size
+    pid = iuv255[..., 0].astype(np.int32)
+    U = np.rint(iuv255[..., 1] / 255.0 * (p - 1)).astype(np.int64)
+    V = np.rint(iuv255[..., 2] / 255.0 * (p - 1)).astype(np.int64)
+    out = np.zeros(iuv255.shape[:2] + atlas.shape[2:], atlas.dtype)
+    for part in range(1, 25):
+        i_cor = (part - 1) // 6
+        j_cor = part - i_cor * 6 - 1
+        tex = atlas[i_cor * p:(i_cor + 1) * p, j_cor * p:(j_cor + 1) * p]
+        ys, xs = np.where(pid == part)
+        out[ys, xs] = tex[U[ys, xs], (p - 1) - V[ys, xs]]
+    return out
+
+
 def masks_to_atlas(part_masks: np.ndarray) -> np.ndarray:
     """(24, p, p) -> (4p, 6p) atlas-layout mask."""
     p = part_masks.shape[1]

@@ -90,6 +90,39 @@ def sample_reference_curriculum(
     return mask, prosrc
 
 
+def apply_curriculum(
+    batch: Dict[str, np.ndarray], stage: int, rng: np.random.RandomState,
+    max_refs: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Apply the host-side reference curriculum to a stacked raw batch.
+
+    Stage 1 trains on all references (reference ``train/1``); stage 2 masks a
+    random 1..4 subset (``train/2:155-163``); stages 3/4 additionally pick a
+    random propagation source among the chosen refs and promote its
+    image/cam/verts to the ``prev_*`` fields (``train/4:249-267``), dropping
+    the per-ref source arrays from the device batch.  Works on batches from
+    the shard reader ((B, R, ...) source arrays) and on stacked per-sample
+    loads alike.
+    """
+    B = batch["src_parts"].shape[0]
+    if stage == 1:
+        batch.setdefault("ref_mask", np.ones((B, max_refs), np.float32))
+        return batch
+    masks, prosrcs = zip(*[sample_reference_curriculum(rng, max_refs)
+                           for _ in range(B)])
+    batch["ref_mask"] = np.stack(masks).astype(np.float32)
+    if stage >= 3 and "src_imgs" in batch:
+        pr = np.asarray(prosrcs)
+        ar = np.arange(B)
+        batch["prev_img"] = np.ascontiguousarray(batch["src_imgs"][ar, pr])
+        batch["prev_cam"] = np.ascontiguousarray(batch["src_cams"][ar, pr])
+        batch["prev_verts"] = np.ascontiguousarray(
+            batch["src_verts"][ar, pr])
+        for k in ("src_imgs", "src_cams", "src_verts", "src_frame_indices"):
+            batch.pop(k, None)
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # synthetic data (tests / benchmarks without the DanceVideo dataset)
 # ---------------------------------------------------------------------------

@@ -55,9 +55,14 @@ struct Reader {
   bool loop = true;
   uint64_t seed = 0;
 
-  std::vector<uint64_t> order;
+  // Per-epoch permutations: epoch e's order is a deterministic function of
+  // (seed, e), generated lazily and cached for the two epochs a batch can
+  // straddle.  A global record counter (cursor) addresses into the virtual
+  // concatenation of epoch permutations, so workers never coordinate a
+  // reshuffle — they just derive (epoch, slot) from the counter.
+  std::vector<uint64_t> perm[2];
+  uint64_t perm_epoch[2] = {~0ull, ~0ull};
   std::atomic<uint64_t> cursor{0};
-  uint64_t epoch = 0;
 
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
@@ -76,31 +81,45 @@ struct Reader {
     for (int fd : fds) close(fd);
   }
 
-  void reshuffle() {
-    if (!shuffle) return;
-    std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (epoch + 1)));
-    for (uint64_t i = order.size(); i > 1; --i) {
-      std::swap(order[i - 1], order[rng() % i]);
+  // Returns epoch e's permutation, generating it on first use.  Caller
+  // holds mu.  Fisher-Yates seeded by splitmix64(seed, e) so every epoch
+  // visits all records in a fresh order (reference DataLoader shuffle=True
+  // semantics, train/4:199).
+  const std::vector<uint64_t>& permutation(uint64_t e) {
+    int slot = static_cast<int>(e & 1);
+    if (perm_epoch[slot] != e) {
+      auto& p = perm[slot];
+      p.resize(records.size());
+      for (uint64_t i = 0; i < p.size(); ++i) p[i] = i;
+      if (shuffle) {
+        std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (e + 1)));
+        for (uint64_t i = p.size(); i > 1; --i) {
+          std::swap(p[i - 1], p[rng() % i]);
+        }
+      }
+      perm_epoch[slot] = e;
     }
+    return perm[slot];
   }
 
   bool fill_one() {
     uint64_t start;
+    uint64_t n = records.size();
+    std::vector<uint64_t> idxs(batch);
     {
       std::lock_guard<std::mutex> l(mu);
       start = cursor.fetch_add(batch);
-      uint64_t n = order.size();
-      if (start + batch > n) {
-        if (!loop) return false;
-        // simple epoch wrap: indices mod n (drop-remainder-free)
+      if (start + batch > n && !loop) return false;
+      for (int i = 0; i < batch; ++i) {
+        uint64_t g = start + i;
+        idxs[i] = permutation(g / n)[g % n];
       }
     }
     Batch b;
     b.data.resize(record_bytes * batch);
-    b.first_index = static_cast<int64_t>(start % order.size());
+    b.first_index = static_cast<int64_t>(start % n);
     for (int i = 0; i < batch; ++i) {
-      uint64_t idx = order[(start + i) % order.size()];
-      const Record& r = records[idx];
+      const Record& r = records[idxs[i]];
       uint64_t done = 0;
       while (done < record_bytes) {
         ssize_t got = pread(fds[r.file], b.data.data() + i * record_bytes + done,
@@ -156,9 +175,6 @@ void* shardio_open(const char** paths, int n_paths, uint64_t record_bytes,
     }
   }
   if (r->records.empty()) { delete r; return nullptr; }
-  r->order.resize(r->records.size());
-  for (uint64_t i = 0; i < r->order.size(); ++i) r->order[i] = i;
-  r->reshuffle();
   int nt = threads < 1 ? 1 : threads;
   for (int i = 0; i < nt; ++i) {
     r->workers.emplace_back([r] { r->worker(); });

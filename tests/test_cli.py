@@ -1,0 +1,138 @@
+"""CLI-level integration: train -> checkpoint -> resume -> infer-restore,
+shard-fed data-parallel training, and the evaluate metric surface.
+
+These are the real-path tests VERDICT round 1 flagged as missing (W3/W4):
+the module-level pieces all worked while the composed CLI broke on the
+save/restore tree asymmetry and never exercised shards or the mesh.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from jafpro_tpu import cli
+from jafpro_tpu.data import shardio
+from jafpro_tpu.train.common import synthetic_batch, synthetic_quad_mesh
+
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _shard_of_interval_records(path, n=6, num_refs=2, image_size=64,
+                               part_size=16, num_verts=36, seed=0):
+    """Synthetic stage-3/4 records at the CLI's --synthetic dimensions."""
+    rng = np.random.RandomState(seed)
+    verts, _ = synthetic_quad_mesh(6)
+    spec = shardio.interval_spec(
+        num_refs=num_refs, image_size=image_size, part_size=part_size,
+        num_verts=num_verts)
+
+    def gen():
+        for _ in range(n):
+            b = synthetic_batch(
+                rng, batch=1, num_refs=num_refs, part_size=part_size,
+                image_size=image_size, num_verts=num_verts)
+            rec = {}
+            for name, shape, dtype in spec:
+                if name == "src_imgs":
+                    v = np.repeat(b["prev_img"], num_refs, axis=0)
+                elif name == "src_cams":
+                    v = np.repeat(b["prev_cam"], num_refs, axis=0)
+                elif name == "src_verts":
+                    v = np.repeat(verts[None], num_refs, axis=0)
+                else:
+                    v = b[name]
+                rec[name] = np.asarray(v, dtype).reshape(shape)
+            rec["tgt_verts"] = verts[None] + np.float32([0.02, 0, 0])
+            yield rec
+
+    return shardio.pack_shard(spec, gen(), str(path)), spec
+
+
+def test_train_resume_infer_restore_roundtrip(workdir, capsys):
+    """Full CLI cycle on stage 1 (fast): train saves {params, opt_states,
+    step}; --resume restores all three; the infer path's raw restore yields
+    a params tree structurally identical to a fresh init."""
+    cli.main(["train", "--stage", "1", "--synthetic", "--iters", "2",
+              "-n", "exp_rt", "--batch-size", "2", "--seed", "3"])
+    ckpt_dir = os.path.join("checkpoints", "exp_rt")
+    from jafpro_tpu.checkpoints import latest_step, restore_checkpoint
+    step = latest_step(ckpt_dir)
+    assert step == 1  # final-save of iters 0..1
+
+    cli.main(["train", "--stage", "1", "--synthetic", "--iters", "1",
+              "-n", "exp_rt", "--batch-size", "2", "--seed", "3",
+              "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    assert "iter 2 " in out  # continued counting from the checkpoint
+
+    # the infer-side raw restore (cmd_infer's exact call): no optimizer
+    # target needed, params subtree matches a fresh init's structure
+    import jax
+    raw = restore_checkpoint(ckpt_dir, latest_step(ckpt_dir))
+    assert set(raw) == {"params", "opt_states", "step"}
+    from jafpro_tpu.config import Config
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+    from jafpro_tpu.pipeline import JAFProPipeline
+    verts, faces = synthetic_quad_mesh(6)
+    cfg = Config(image_size=64, part_size=16, face_crop_size=16,
+                 compute_dtype="float32", maximum_ref_frames=2)
+    pipe = JAFProPipeline(cfg, flow_engine=SMPLFlowEngine.create(
+        faces=faces, image_size=64, chunk=64))
+    fresh = pipe.init_params(jax.random.PRNGKey(0))
+    restored_shapes = jax.tree_util.tree_map(lambda x: np.shape(x), raw["params"])
+    fresh_shapes = jax.tree_util.tree_map(lambda x: np.shape(x), fresh)
+    assert jax.tree_util.tree_structure(restored_shapes) == \
+        jax.tree_util.tree_structure(fresh_shapes)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a == b, restored_shapes, fresh_shapes))
+
+
+def test_train_stage4_shards_mesh_resume(workdir, capsys):
+    """VERDICT item 4's done-criterion: a 2-device CPU smoke of stage-4
+    training through packed shards, stop, resume — all through the CLI."""
+    n, _ = _shard_of_interval_records(workdir / "train-00000.shard")
+    assert n == 6
+    args = ["train", "--stage", "4", "--synthetic", "--iters", "2",
+            "-n", "exp_sh", "--batch-size", "2", "--num-devices", "2",
+            "--shards", str(workdir)]
+    cli.main(args)
+    out = capsys.readouterr().out
+    assert "shard reader: 6 records" in out
+    assert "data-parallel over 2 devices" in out
+    assert "Training Done" in out
+    for line in out.splitlines():
+        if "loss" in line and "iter" in line:
+            val = float(line.split("loss")[1].split("(")[0])
+            assert np.isfinite(val)
+
+    cli.main(args + ["--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "Training Done" in out
+
+
+def test_evaluate_cli_emits_all_six_metrics(workdir, capsys):
+    """The evaluate CLI must emit the reference's full metric set
+    (video_evaluation.py:184-246): ssim, ms_ssim, psnr, l1, vgg, flow_l1."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    for root in ("pred", "gt"):
+        d = workdir / root / "vid_a"
+        d.mkdir(parents=True)
+        for i in range(3):
+            cv2.imwrite(str(d / f"frame_{i:03d}.jpg"),
+                        rng.randint(0, 255, (64, 64, 3), np.uint8))
+    cli.main(["evaluate", "--pred", str(workdir / "pred"),
+              "--gt", str(workdir / "gt")])
+    out = capsys.readouterr().out
+    for key in ("ssim", "ms_ssim", "psnr", "l1", "vgg", "flow_l1"):
+        assert f"'{key}'" in out, f"missing metric {key}"

@@ -108,6 +108,32 @@ def test_load_interval_sample(dance_root):
     x0, x1, y0, y1 = b["face_bbox"][0]
     assert x1 > x0 and y1 > y0  # fixture always has a face
     assert b["src_cams"].shape == (4, 3) and b["src_verts"].shape == (4, 32, 3)
+    # stage-3 mask fields (reference src/data.py:680-720)
+    assert b["face_mask"].shape == (1, 256, 256, 1)
+    assert b["face_mask"].max() == 1.0  # fixture always has face pixels
+    assert b["src_mask_in_image"].shape == (1, 4, 256, 256)
+    assert b["image_inpaint_area"].shape == (1, 256, 256)
+    for k in ("face_mask", "src_mask_in_image", "image_inpaint_area"):
+        assert set(np.unique(b[k])).issubset({0.0, 1.0}), k
+
+
+def test_transfer_texture_reference_semantics():
+    """Nearest-neighbor atlas->image warp matches the reference
+    TransferTexture indexing (src/utils.py:369-394): tex[U, 199-V] of the
+    part's 200px tile."""
+    from jafpro_tpu.data.texture import transfer_texture
+
+    atlas = np.zeros((800, 1200, 3), np.float32)
+    # part 8 -> grid row (8-1)//6 = 1, col 8-1-6 = 1
+    atlas[200:400, 200:400] = np.arange(
+        200 * 200 * 3, dtype=np.float32).reshape(200, 200, 3)
+    iuv = np.zeros((4, 4, 3), np.float32)
+    iuv[1, 2] = [8, 255, 0]    # U=255 -> u=199; V=0 -> col 199
+    iuv[3, 0] = [8, 0, 255]    # U=0 -> u=0;    V=255 -> col 0
+    out = transfer_texture(atlas, iuv)
+    np.testing.assert_array_equal(out[1, 2], atlas[200 + 199, 200 + 199])
+    np.testing.assert_array_equal(out[3, 0], atlas[200 + 0, 200 + 0])
+    assert (out[0, 0] == 0).all()  # background untouched
 
 
 def test_face_bbox_margins():
@@ -130,7 +156,7 @@ def test_pack_dancevideo_roundtrip(dance_root, tmp_path):
         num_verts=32)
     assert n == 2
     spec = interval_spec(num_refs=4, num_verts=32)
-    r = ShardReader(spec, [str(tmp_path / "test-00000.shard")], batch=2,
+    r = ShardReader(spec, [str(tmp_path / "test-interval-00000.shard")], batch=2,
                     shuffle=False, loop=False, threads=1)
     b = next(r)
     assert b["src_parts"].shape == (2, 4, 24, 200, 200, 3)

@@ -58,6 +58,25 @@ def test_shuffled_epoch_covers_all(shard):
     assert labels != list(range(10))  # actually shuffled
 
 
+def test_epochs_reshuffled(shard):
+    """Consecutive epochs must visit records in different orders (the
+    reference DataLoader's shuffle=True semantics, train/4:199)."""
+    path, _ = shard
+    r = shardio.ShardReader(SPEC, [path], batch=5, shuffle=True, loop=True,
+                            threads=1, prefetch=1, seed=3)
+    epochs = []
+    for _ in range(3):
+        labels = []
+        while len(labels) < 10:
+            labels.extend(next(r)["label"][:, 0].tolist())
+        epochs.append(labels)
+    r.close()
+    for e in epochs:
+        assert sorted(e) == list(range(10))  # each epoch covers all records
+    assert epochs[0] != epochs[1] or epochs[1] != epochs[2]
+    assert epochs[0] != epochs[1]  # 10! orders — collision ~0
+
+
 def test_content_integrity(shard):
     path, samples = shard
     r = shardio.ShardReader(SPEC, [path], batch=1, shuffle=False, loop=True,
