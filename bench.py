@@ -37,23 +37,39 @@ def main():
     path = default_smpl_faces_path()
     if path is not None:
         faces = np.load(path).astype(np.int32)
-        num_verts = int(faces.max()) + 1
     else:
-        verts, faces = synthetic_quad_mesh(64)
-        num_verts = verts.shape[0]
-    engine = SMPLFlowEngine.create(
-        faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
-        band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")),
-        band_capacity=int(os.environ.get("BENCH_BAND_CAPACITY", "4096")))
-    pipe = JAFProPipeline(cfg, flow_engine=engine)
-    params = pipe.init_params(jax.random.PRNGKey(0))
+        _, faces = synthetic_quad_mesh(64)
 
     rng = np.random.RandomState(0)
     iuv = np.zeros((T, S, S, 3), np.float32)
     iuv[..., 0] = rng.randint(0, 25, (T, S, S))
     iuv[..., 1:] = rng.randint(0, 256, (T, S, S, 2))
-    verts = rng.uniform(-0.5, 0.5, (T, num_verts, 3)).astype(np.float32)
+    # Topology-consistent body-proportioned mesh (independent random verts
+    # make every triangle span the frame, which is neither a realistic
+    # workload nor admissible for the banded rasterizer's capacity check).
+    from jafpro_tpu.utils.meshproxy import smoothed_topology_vertices
+
+    base = smoothed_topology_vertices(faces)
+    verts = (base[None]
+             + rng.normal(scale=0.01, size=(T, 1, 3))).astype(np.float32)
     verts[..., 2] += 2.0
+
+    engine = SMPLFlowEngine.create(
+        faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
+        band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")))
+    cap_env = os.environ.get("BENCH_BAND_CAPACITY", "auto")
+    cams_np = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (T, 1))
+    if cap_env == "auto":
+        # the production path: measured-exact per-clip capacity bucket
+        engine = engine.adapt_to_clip(cams_np, verts)
+    else:
+        import dataclasses
+        engine = dataclasses.replace(engine, band_capacity=int(cap_env))
+    import sys
+    print(f"bench config: band_rows={engine.band_rows} "
+          f"band_capacity={engine.band_capacity}", file=sys.stderr)
+    pipe = JAFProPipeline(cfg, flow_engine=engine)
+    params = pipe.init_params(jax.random.PRNGKey(0))
     clip = {
         "src_parts": jnp.asarray(
             rng.uniform(-1, 1, (1, R, 24, p, p, 3)), jnp.float32),
@@ -73,7 +89,8 @@ def main():
     }
 
     gen = VideoGenerator(
-        pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")))
+        pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
+        raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"))
 
     # BENCH_CLIPS > 1: serving throughput — generate a batch of independent
     # clips in one program (vmap over clips; per-frame scan batches across

@@ -1,0 +1,44 @@
+"""Within-session A/B sweep of bench.py configs on one TPU process.
+
+Cross-session tunnel variance is up to ~25% (TUNING.md), so capacity /
+frame-batch comparisons are only meaningful when run minutes apart in ONE
+process — this driver runs each config's full chained bench sequentially
+and prints one labeled JSON line per config.
+
+Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
+  (each arg is BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS]; capacity
+  'auto' = the measured per-clip bucket selection, the production default;
+  BAND_ROWS defaults to 16).
+"""
+
+import json
+import os
+import sys
+import time
+
+import bench
+
+
+def main():
+    configs = sys.argv[1:] or ["auto:1:scan", "auto:1:batch", "1024:1:scan"]
+    results = {}
+    for spec in configs:
+        parts = spec.split(":")
+        cap, fb, mode = parts[:3]
+        rows = parts[3] if len(parts) > 3 else "16"
+        os.environ["BENCH_BAND_CAPACITY"] = cap
+        os.environ["BENCH_FRAME_BATCH"] = fb
+        os.environ["BENCH_RASTER_MODE"] = mode
+        os.environ["BENCH_BAND_ROWS"] = rows
+        print(f"=== config cap={cap} fb={fb} raster={mode} rows={rows} ===",
+              file=sys.stderr)
+        t0 = time.time()
+        bench.main()
+        print(f"=== config {spec} done in {time.time() - t0:.0f}s ===",
+              file=sys.stderr)
+        results[spec] = True
+    print(json.dumps({"sweep": configs}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,41 @@ def _raw_batch_source(args, cfg, rng, verts):
     return load
 
 
+def _adapt_train_engine(pipe, cfg, stage: int, synthetic: bool,
+                        frame_stride: int = 10):
+    """Stage-3/4 training rasterizes real SMPL poses: pick the measured-exact
+    band capacity once for the whole run from a stride-subsampled scan of
+    the train split's pose_shape.pkl files (host NumPy, startup-only)."""
+    if stage <= 2 or synthetic or not os.path.isdir(
+            os.path.join(cfg.smpl_root, "train")):
+        return pipe
+    import pickle
+
+    from jafpro_tpu.data.dataset import list_videos
+    from jafpro_tpu.pipeline import JAFProPipeline
+
+    cams, verts = [], []
+    for vid in list_videos(cfg.smpl_root, "train"):
+        path = os.path.join(cfg.smpl_root, "train", vid, "pose_shape.pkl")
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            smpl = pickle.load(f)
+        v = np.asarray(smpl["vertices"], np.float32)[::frame_stride]
+        c = np.asarray(smpl["cams"], np.float32)[::frame_stride]
+        verts.append(v)
+        cams.append(c[: len(v)])
+    if not verts:
+        return pipe
+    engine = pipe.flow_engine.adapt_to_clip(
+        np.concatenate(cams), np.concatenate(verts))
+    if engine is pipe.flow_engine:
+        return pipe
+    print(f"band capacity (train split, measured): rows={engine.band_rows} "
+          f"cap={engine.band_capacity}")
+    return JAFProPipeline(cfg, flow_engine=engine)
+
+
 def cmd_train(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -154,6 +189,7 @@ def cmd_train(args) -> None:
         cfg.vis_interval = 3
 
     pipe, verts = _build_pipeline(cfg, args.synthetic)
+    pipe = _adapt_train_engine(pipe, cfg, args.stage, args.synthetic)
     params = pipe.init_params(jax.random.PRNGKey(args.seed))
 
     step_fn, lrs = _make_step(pipe, args.stage)
@@ -235,7 +271,23 @@ def cmd_infer(args) -> None:
         params = restore_checkpoint(ckpt_dir, step)["params"]
         print(f"restored {ckpt_dir}/iter_{step}")
 
-    gen = VideoGenerator(pipe)
+    # Per-clip measured-exact band capacity: one VideoGenerator per
+    # (band_rows, capacity) bucket so jit caches stay warm across clips that
+    # share a bucket (capacity is a static arg of the rasterizer).
+    from jafpro_tpu.pipeline import JAFProPipeline
+
+    base_engine = pipe.flow_engine
+    _gens = {}
+
+    def gen_for(clip_np):
+        eng = base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
+        key = (eng.band_rows, eng.band_capacity)
+        if key not in _gens:
+            p = pipe if eng is base_engine else \
+                JAFProPipeline(cfg, flow_engine=eng)
+            _gens[key] = VideoGenerator(p)
+        return _gens[key]
+
     import cv2
     import jax.numpy as jnp
 
@@ -260,11 +312,13 @@ def cmd_infer(args) -> None:
         print("wrote", save_dir)
 
     def load_one(vid):
-        clip_np = load_clip(
+        return load_clip(
             os.path.join(cfg.data_root, "test"),
             os.path.join(cfg.smpl_root, "test"),
             os.path.join(cfg.mask_root, "test"),
             vid, num_refs=args.num_refs)
+
+    def to_device(clip_np):
         return {k: jnp.asarray(v) for k, v in clip_np.items()
                 if k not in ("gt_frames", "vid_name")}
 
@@ -277,14 +331,22 @@ def cmd_infer(args) -> None:
         mesh = create_mesh(nd, ("data",))
         for start in range(0, len(vids) - len(vids) % nd, nd):
             group = vids[start:start + nd]
+            clips_np = [load_one(v) for v in group]
+            # one program per group: the most conservative clip's bucket
+            # (dense beats any capacity) keeps every clip exact
+            group_gens = [gen_for(c) for c in clips_np]
+            gen = min(group_gens,
+                      key=lambda g: (g.pipe.flow_engine.band_rows or -1,
+                                     -g.pipe.flow_engine.band_capacity))
             clips = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[load_one(v) for v in group])
+                lambda *xs: jnp.stack(xs), *[to_device(c) for c in clips_np])
             out = gen.generate_batch(params, clips, mesh=mesh)
             for ci, vid in enumerate(group):
                 write_frames(vid, out, clip_idx=ci)
         vids = vids[len(vids) - len(vids) % nd:]  # remainder: single path
     for vid in vids:
-        out = gen(params, load_one(vid))
+        clip_np = load_one(vid)
+        out = gen_for(clip_np)(params, to_device(clip_np))
         write_frames(vid, out)
     print("Testing Done.")
 

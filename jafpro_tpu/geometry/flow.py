@@ -88,6 +88,32 @@ class SMPLFlowEngine:
             faces = np.load(path).astype(np.int32)
         return cls(faces=np.asarray(faces, np.int32), image_size=image_size, **kw)
 
+    def adapt_to_clip(self, cams: np.ndarray,
+                      vertices: np.ndarray) -> "SMPLFlowEngine":
+        """Return an engine whose band capacity is *measured-exact* for this
+        clip's poses: project the clip's SMPL vertices on the host, take the
+        max per-band front-face count over all frames, and pick the smallest
+        power-of-two capacity bucket that admits it (falling back to the
+        dense/exact rasterizer when even the largest bucket would drop
+        faces, e.g. a zoomed-out mesh squeezing into a few bands).
+
+        Host-side NumPy only — no device dispatch; call once per clip.
+        Capacity is a static jit arg, so bucketing bounds the number of
+        compiled programs to the bucket count."""
+        if self.band_rows <= 0 or self._use_pallas():
+            return self
+        from jafpro_tpu.geometry.projection import project_to_view_np
+        from jafpro_tpu.geometry.rasterizer import select_band_capacity
+
+        view = project_to_view_np(np.asarray(vertices, np.float32),
+                                  np.asarray(cams, np.float32),
+                                  self.viewing_angle)
+        fv = view[:, self.faces]
+        cap = select_band_capacity(fv, self.image_size, self.band_rows)
+        if cap == 0:
+            return dataclasses.replace(self, band_rows=0)
+        return dataclasses.replace(self, band_capacity=cap)
+
     def _use_pallas(self) -> bool:
         # "auto" currently resolves to the blocked-XLA kernel: on the
         # remote-compile TPU runtime available here the Mosaic build of the

@@ -78,3 +78,19 @@ def project_to_view(
 def vertices_to_faces(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """Gather (B, V, 3) vertices into (B, F, 3, 3) per-face triangles."""
     return vertices[:, faces]  # faces: (F, 3) static int array
+
+
+def project_to_view_np(
+    vertices: np.ndarray, cam: np.ndarray, viewing_angle: float = 30.0
+) -> np.ndarray:
+    """NumPy twin of ``project_to_view`` for host-side planning (capacity
+    selection runs on the clip's cams/verts before any device dispatch).
+    vertices: (B, V, 3); cam: (B, 3)."""
+    vertices = np.asarray(vertices, np.float32)
+    cam = np.asarray(cam, np.float32)
+    scale = cam[:, 0][:, None, None]
+    trans = cam[:, 1:3][:, None, :]
+    xy = scale * (vertices[..., :2] + trans)
+    proj = np.concatenate([xy, vertices[..., 2:3]], axis=-1)
+    proj[..., 1] *= -1.0
+    return proj - default_eye(viewing_angle)

@@ -152,6 +152,10 @@ def _rasterize_single(
     if band_rows and S % band_rows == 0:
         nb = S // band_rows
         K = min(band_capacity, F)
+        # a chunk wider than the band capacity would pad K back up to one
+        # full chunk, silently re-inflating the per-band work the capacity
+        # was chosen to avoid (non-power-of-two buckets, e.g. 1536)
+        chunk = min(chunk, K)
         # band b covers pixel-center clip-y in [lo_b, hi_b]
         r0 = jnp.arange(nb, dtype=dtype) * band_rows
         lo = (2.0 * r0 + 1 - S) / S                       # (nb,)
@@ -285,6 +289,32 @@ def band_occupancy(face_verts: np.ndarray, image_size: int = 256,
               & (fy_max[:, None, :] >= lo[None, :, None])
               & (fy_min[:, None, :] <= hi[None, :, None]))
     return member.sum(-1)
+
+
+BAND_CAPACITY_BUCKETS = (512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def select_band_capacity(
+    face_verts: np.ndarray, image_size: int = 256, band_rows: int = 16,
+    buckets: tuple = BAND_CAPACITY_BUCKETS,
+) -> int:
+    """Smallest capacity bucket that keeps the banded rasterizer *exact*
+    for every frame of ``face_verts`` (B, F, 3, >=2), or 0 when even the
+    largest bucket would drop faces (caller should fall back to the dense
+    path, ``band_rows=0``).
+
+    The banded kernel's work is ``image_size**2 * capacity`` regardless of
+    the mesh, so capacity is a pure speed/safety dial: measuring the real
+    clip's occupancy on the host (cheap NumPy, no device dispatch) and
+    bucketing bounds recompiles to ``len(buckets)+1`` programs while
+    guaranteeing bitwise-exact output — the round-1 fixed default had to
+    assume a worst case (a zoomed-out mesh concentrates every face into a
+    few bands, where a fixed 2048 silently drops geometry)."""
+    occ = int(band_occupancy(face_verts, image_size, band_rows).max())
+    for cap in sorted(buckets):
+        if occ <= cap:
+            return cap
+    return 0
 
 
 @functools.partial(

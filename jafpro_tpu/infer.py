@@ -42,6 +42,13 @@ class VideoGenerator:
     # better than frame batching while the rasterizer dominates; raise this
     # once the z-buffer is VMEM-resident
     frame_batch: int = 1
+    # "scan": rasterize each frame inside the frame scan (round-1 schedule).
+    # "batch": rasterize ALL target poses in one batched z-buffer pass up
+    # front and scan only the conv stack — rasterization batches well
+    # (bigger per-band pixel blocks amortize the face gathers) while CRN
+    # batching measured slower (TUNING.md), so batch the one and scan the
+    # other.  Output is identical either way.
+    raster_mode: str = "scan"
 
     def __post_init__(self):
         # propagation with per-sample norm shares the training parameters
@@ -93,8 +100,13 @@ class VideoGenerator:
             inpainted, (fb,) + inpainted.shape[1:])
         bg_b = jnp.broadcast_to(bg_out, (fb,) + bg_out.shape[1:])
 
+        if self.raster_mode == "batch":
+            # one batched z-buffer over every target pose; the scan below
+            # consumes precomputed fim/wim slices
+            _, fim_all, wim_all = engine.render_fim_wim(cams, verts)
+
         def frame_step(carry, xs):
-            i, iuv255, iuv, smpl_mask = xs  # leading axis fb
+            i, iuv255, iuv, smpl_mask = xs[:4]  # leading axis fb
             dist = jnp.abs(i[:, None] - chosen[None, :])  # (fb, R)
             src_pro = jnp.argmin(dist, axis=1)            # (fb,)
             prev_img = src_imgs[src_pro]                  # (fb, S, S, 3)
@@ -103,7 +115,10 @@ class VideoGenerator:
             refined, fg_mask = pipe.refine.apply(params["refine"], warped, S)
             fusion = refined * fg_mask + bg_b * (1.0 - fg_mask)
 
-            _, tsf_fim, tsf_wim = engine.render_fim_wim(cams[i], verts[i])
+            if self.raster_mode == "batch":
+                tsf_fim, tsf_wim = xs[4], xs[5]
+            else:
+                _, tsf_fim, tsf_wim = engine.render_fim_wim(cams[i], verts[i])
             flow = cal_bc_transform(
                 src_f2pts_all[src_pro], tsf_fim, tsf_wim)
             tsf = engine.warp_image(prev_img, flow)
@@ -122,6 +137,8 @@ class VideoGenerator:
 
         xs = (fold(jnp.arange(T)), fold(clip["tgt_iuv255"]),
               fold(clip["tgt_iuv"]), fold(clip["smpl_mask"]))
+        if self.raster_mode == "batch":
+            xs = xs + (fold(fim_all), fold(wim_all))
         _, frames = jax.lax.scan(frame_step, None, xs)
         # (T//fb, fb, ...) -> (T, ...)
         return jax.tree_util.tree_map(

@@ -1,8 +1,12 @@
 """Standalone FlowNet training harness (reference
 ``src/flownet2_pytorch/main.py``): train/validate a FlowNet variant with the
-multi-scale EPE loss.  The reference's Sintel/FlyingChairs loaders are
-replaced by a generic (frame-pair, flow) sample source; synthetic warps are
-provided for smoke testing without datasets.
+multi-scale EPE loss.  Real dataset loaders (Sintel / FlyingChairs /
+ChairsSDHom layouts, ``main.py --training_dataset``) live in
+``jafpro_tpu.data.flow_datasets``; synthetic warps are provided for smoke
+testing without datasets.  ``compute_dtype="bfloat16"`` is the TPU
+equivalent of the reference's ``--fp16`` flag, and
+``save_flow_state`` / ``restore_flow_state`` cover ``--resume``
+(``main.py:25-60, 121-131``).
 """
 
 from __future__ import annotations
@@ -36,9 +40,16 @@ def synthetic_flow_batch(
     return pairs, flow
 
 
-def make_flow_train_step(model_name: str = "sd", lr: float = 1e-4):
-    """Returns (init_fn, step_fn) for the multi-scale flow trainer."""
-    model = FlowNetSD() if model_name == "sd" else FlowNetC()
+def make_flow_train_step(model_name: str = "sd", lr: float = 1e-4,
+                         compute_dtype: str = "float32"):
+    """Returns (init_fn, step_fn) for the multi-scale flow trainer.
+
+    ``compute_dtype="bfloat16"`` runs the conv stack in bf16 (parameters and
+    the loss stay float32) — the TPU-native counterpart of the reference's
+    ``--fp16`` mixed-precision flag."""
+    dtype = jnp.dtype(compute_dtype) if compute_dtype != "float32" else None
+    model = (FlowNetSD(dtype=dtype) if model_name == "sd"
+             else FlowNetC(dtype=dtype))
     tx = optax.adam(lr)
 
     def init_fn(rng, sample_pairs):
@@ -79,3 +90,22 @@ def make_flow_train_step(model_name: str = "sd", lr: float = 1e-4):
                 {"loss": loss, "epe": epev})
 
     return init_fn, step_fn
+
+
+def save_flow_state(ckpt_dir: str, step: int, state) -> str:
+    """Persist the harness state (params + batch_stats + Adam moments) —
+    the reference's periodic ``save_checkpoint`` (``main.py:121-131``)."""
+    from jafpro_tpu.checkpoints import save_checkpoint
+
+    return save_checkpoint(ckpt_dir, step, state)
+
+
+def restore_flow_state(ckpt_dir: str, state):
+    """Resume from the latest step if one exists (``main.py --resume``):
+    returns (state, start_step)."""
+    from jafpro_tpu.checkpoints import latest_step, restore_checkpoint
+
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return state, 0
+    return restore_checkpoint(ckpt_dir, step, target=state), step

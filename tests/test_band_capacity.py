@@ -1,0 +1,109 @@
+"""Measured-exact band-capacity selection (round-2 hardening of the banded
+rasterizer: VERDICT "validate capacity ... then make the validated capacity
+the default").  Capacity is now chosen per clip from host-measured band
+occupancy instead of a fixed default, so banding is exact by construction:
+occupancy <= capacity implies no face is dropped."""
+
+import os
+
+import numpy as np
+import pytest
+
+from jafpro_tpu.geometry.projection import project_to_view, project_to_view_np
+from jafpro_tpu.geometry.rasterizer import (
+    BAND_CAPACITY_BUCKETS, band_occupancy, rasterize_fim_wim,
+    select_band_capacity)
+from jafpro_tpu.utils.meshproxy import smoothed_topology_vertices
+
+SMPL_FACES = "/root/reference/smpl_faces.npy"
+needs_smpl = pytest.mark.skipif(not os.path.exists(SMPL_FACES),
+                                reason="SMPL topology asset not available")
+
+
+@pytest.fixture(scope="module")
+def smpl_faces():
+    return np.load(SMPL_FACES).astype(np.int32)
+
+
+@needs_smpl
+def test_meshproxy_faces_are_local(smpl_faces):
+    """The smoothed embedding must keep graph-adjacent vertices close —
+    triangles with body-plausible pixel extents, unlike independent random
+    vertices whose triangles span the whole frame."""
+    v = smoothed_topology_vertices(smpl_faces)
+    fv = v[smpl_faces]
+    extent = fv.max(axis=1) - fv.min(axis=1)  # (F, 3) per-face bbox
+    # in clip coords (y spans ~2.0): typical faces are small
+    assert np.median(extent[:, 1]) < 0.08
+    assert extent[:, 1].max() < 0.5
+    # and the embedding is body-proportioned (taller than wide)
+    span = v.max(0) - v.min(0)
+    assert span[1] > 2.0 * span[0]
+
+
+def test_projection_np_matches_jax():
+    rng = np.random.RandomState(0)
+    verts = rng.uniform(-1, 1, (2, 40, 3)).astype(np.float32)
+    cams = np.asarray([[1.1, 0.02, -0.3], [0.7, -0.1, 0.2]], np.float32)
+    np.testing.assert_allclose(
+        project_to_view_np(verts, cams),
+        np.asarray(project_to_view(verts, cams)), atol=1e-6)
+
+
+@needs_smpl
+def test_select_band_capacity_bounds_occupancy(smpl_faces):
+    v = smoothed_topology_vertices(smpl_faces)[None] + np.float32([0, 0, 2])
+    for scale in (0.4, 1.0, 2.0):
+        cam = np.asarray([[scale, 0.0, 0.0]], np.float32)
+        fv = project_to_view_np(v, cam)[:, smpl_faces]
+        occ = int(band_occupancy(fv, 256, 16).max())
+        cap = select_band_capacity(fv, 256, 16)
+        assert cap in BAND_CAPACITY_BUCKETS
+        assert cap >= occ
+        # smallest admissible bucket
+        smaller = [b for b in BAND_CAPACITY_BUCKETS if b < cap]
+        if smaller:
+            assert max(smaller) < occ
+
+
+@needs_smpl
+def test_selected_capacity_is_exact(smpl_faces):
+    """Banded output at the *selected* bucket must equal the dense z-buffer
+    on the full 13776-face topology (small image to keep CPU time sane)."""
+    S = 96
+    v = smoothed_topology_vertices(smpl_faces)[None] + np.float32([0, 0, 2])
+    cam = np.asarray([[1.0, 0.0, 0.0]], np.float32)
+    fv = np.asarray(project_to_view(v, cam))[:, smpl_faces]
+    cap = select_band_capacity(fv, S, 16)
+    assert cap < max(BAND_CAPACITY_BUCKETS)  # the selection actually bites
+    fim_d, wim_d = rasterize_fim_wim(fv, image_size=S, chunk=512)
+    fim_b, wim_b = rasterize_fim_wim(fv, image_size=S, chunk=512,
+                                     band_rows=16, band_capacity=cap)
+    np.testing.assert_array_equal(np.asarray(fim_b), np.asarray(fim_d))
+    np.testing.assert_allclose(np.asarray(wim_b), np.asarray(wim_d))
+
+
+@needs_smpl
+def test_adapt_to_clip_buckets_and_dense_fallback(smpl_faces):
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+
+    engine = SMPLFlowEngine.create(faces=smpl_faces, image_size=256)
+    v = smoothed_topology_vertices(smpl_faces)
+    verts = np.stack([v, v + np.float32([0.01, 0, 0])]) + np.float32([0, 0, 2])
+    cams = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (2, 1))
+    adapted = engine.adapt_to_clip(cams, verts)
+    assert adapted.band_rows == engine.band_rows
+    assert adapted.band_capacity < 4096  # measured well under the old fixed cap
+
+    # pathological clip: independent random vertices make every triangle
+    # span the frame, occupancy exceeds every bucket -> dense fallback
+    rng = np.random.RandomState(0)
+    scrambled = rng.uniform(-0.5, 0.5, verts.shape).astype(np.float32)
+    scrambled[..., 2] += 2.0
+    fallback = engine.adapt_to_clip(cams, scrambled)
+    assert fallback.band_rows == 0
+
+    # already-dense or pallas engines pass through untouched
+    import dataclasses
+    dense = dataclasses.replace(engine, band_rows=0)
+    assert dense.adapt_to_clip(cams, verts) is dense

@@ -205,3 +205,28 @@ def test_video_generator_batch_sharded(setup):
                                np.asarray(single["final"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["final"][1]),
                                np.asarray(out["final"][0]), atol=1e-6)
+
+
+def test_video_generator_raster_mode_invariance(setup):
+    """raster_mode='batch' (all target poses z-buffered up front) must be
+    bit-identical to the in-scan rasterization schedule."""
+    pipe, params, batch = setup
+    verts, _ = synthetic_quad_mesh(6)
+    T, R = 3, 2
+    clip = {
+        "src_parts": batch["src_parts"],
+        "src_mask_parts": batch["src_mask_parts"],
+        "ref_mask": batch["ref_mask"],
+        "bg_incomplete": batch["bg_incomplete"],
+        "src_imgs": jnp.tile(batch["prev_img"], (R, 1, 1, 1)),
+        "chosen_frames": jnp.asarray([0, 2], jnp.int32),
+        "tgt_iuv255": jnp.tile(batch["tgt_iuv255"], (T, 1, 1, 1)),
+        "tgt_iuv": jnp.tile(batch["tgt_iuv"], (T, 1, 1, 1)),
+        "smpl_mask": jnp.tile(batch["smpl_mask"], (T, 1, 1, 1)),
+        "cams": jnp.tile(jnp.asarray([[1.0, 0, 0]]), (T, 1)),
+        "verts": jnp.tile(jnp.asarray(verts)[None], (T, 1, 1)),
+    }
+    out_scan = VideoGenerator(pipe, raster_mode="scan")(params, clip)
+    out_batch = VideoGenerator(pipe, raster_mode="batch")(params, clip)
+    np.testing.assert_array_equal(np.asarray(out_scan["final"]),
+                                  np.asarray(out_batch["final"]))
