@@ -36,6 +36,80 @@ from jafpro_tpu.geometry.rasterizer import rasterize_fim_wim
 from jafpro_tpu.ops.sampling import grid_sample
 
 
+def edge_gradient_surrogate(
+    fim: jnp.ndarray, wim: jnp.ndarray, images: jnp.ndarray,
+    px: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occlusion-boundary (coverage) gradient term for rasterized images.
+
+    Returns a tensor that is exactly ZERO in the forward pass but whose
+    autodiff pullback carries d(image)/d(vertex position) across coverage
+    boundaries — the capability the reference implements imperatively in
+    ``rasterize_cuda_kernel.cu:246+`` (``backward_pixel_map``, Kato et al.'s
+    anti-aliased edge gradients).  The XLA rasterizer is already
+    differentiable for *interior* pixels (barycentric weights are smooth in
+    the vertices for a fixed winning face); this supplies the missing
+    boundary term, TPU-natively: no edge walking, no atomics — four shifted
+    finite differences and one weighted gather, all static shapes.
+
+    First-order model (the same one the CUDA kernel discretizes): moving a
+    face's silhouette outward in direction d by one pixel repaints each
+    just-outside neighbor pixel b from I_b to the adjacent covered pixel's
+    I_a, so dI_b/d(edge shift) ~ (I_a - I_b); an edge point's motion follows
+    the face's vertices with the boundary pixel's barycentric weights.
+    Implemented as a surrogate linear in ``px - stop_grad(px)`` so a plain
+    ``images + surrogate`` gives the corrected VJP for any cotangent.
+
+    Approximation note: when two faces meet at a boundary, each receives an
+    expansion gradient regardless of which would win the z-buffer after the
+    move (the CUDA kernel re-checks depth per edge pixel).  Exact for the
+    dominant case — silhouette-vs-background — and first-order correct
+    elsewhere.
+
+    Args (all in the SAME unflipped orientation — row index increasing with
+    clip y, i.e. the rasterizer's ``flip_y=False`` frame):
+      fim (B, S, S) int32 [-1 bg], wim (B, S, S, 3),
+      images (B, S, S, C) the rendered values whose boundary gradient is
+      wanted (RGB render, silhouettes, depth, ...),
+      px (B, F, 3, 2) pixel-space vertex coords built from the DIFFERENTIABLE
+      view vertices: ``0.5 * (fv_xy * S + S - 1)``.
+    """
+    delta = px - jax.lax.stop_gradient(px)          # 0-valued, carries grad
+    covered = fim >= 0
+    safe = jnp.where(covered, fim, 0)
+    delta_f = jax.vmap(lambda d, i: d[i])(delta, safe)   # (B, S, S, 3, 2)
+    # per-pixel silhouette shift of the covering face (0-valued forward)
+    shift = jnp.sum(
+        jax.lax.stop_gradient(wim)[..., None] * delta_f, axis=-2
+    )                                                # (B, S, S, 2)
+
+    zero = jnp.zeros_like(images)
+    out = zero
+
+    def shift_map(arr, dy, dx, fill):
+        """arr shifted so position (y, x) reads arr[y - dy, x - dx]."""
+        pad = [(0, 0), (max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+        pad += [(0, 0)] * (arr.ndim - 3)
+        a = jnp.pad(arr, pad, constant_values=fill)
+        S = images.shape[1]
+        y0, x0 = max(-dy, 0), max(-dx, 0)
+        return a[:, y0:y0 + S, x0:x0 + S]
+
+    # direction (dy, dx, component, sign): face at a = b - (dy, dx) expands
+    # toward b when its vertices move by sign along component
+    for dy, dx, comp, sign in ((0, 1, 0, 1.0), (0, -1, 0, -1.0),
+                               (1, 0, 1, 1.0), (-1, 0, 1, -1.0)):
+        fim_a = shift_map(fim, dy, dx, -1)
+        img_a = shift_map(images, dy, dx, 0.0)
+        cov_a = shift_map(covered, dy, dx, False)
+        shift_a = shift_map(shift[..., comp], dy, dx, 0.0)
+        mask = cov_a & (fim_a != fim)               # boundary seen from b
+        dI = jax.lax.stop_gradient(img_a - images)  # repaint b -> a's color
+        out = out + jnp.where(mask[..., None],
+                              dI * (sign * shift_a)[..., None], zero)
+    return out
+
+
 def encode_fim(fim: jnp.ndarray, map_fn: jnp.ndarray) -> jnp.ndarray:
     """fim (B, S, S) int32 with -1 bg; map_fn (F+1, C) with last row = bg.
     Returns (B, S, S, C)."""
@@ -94,9 +168,18 @@ class SMPLRenderer:
     def render_fim(self, cam, vertices):
         return self.render_fim_wim(cam, vertices)[1]
 
-    def render_silhouettes(self, cam, vertices):
-        fim = self.render_fim(cam, vertices)
-        return (fim >= 0).astype(jnp.float32)
+    def render_silhouettes(self, cam, vertices, edge_gradients: bool = False):
+        """Coverage map (B, S, S).  ``edge_gradients=True`` makes it
+        differentiable w.r.t. vertices/cam via the boundary surrogate
+        (reference ``rasterize_cuda.cpp`` backward_silhouette path)."""
+        fv, fim, wim = self.render_fim_wim(cam, vertices)
+        sil = (fim >= 0).astype(fv.dtype)
+        if not edge_gradients:
+            return sil
+        px = 0.5 * (fv[..., :2] * self.image_size + self.image_size - 1)
+        surr = edge_gradient_surrogate(
+            fim[:, ::-1], wim[:, ::-1], sil[:, ::-1, :, None], px)
+        return sil + surr[:, ::-1, :, 0]
 
     def render_depth(self, cam, vertices):
         fv = self._view_faces(cam, vertices)
@@ -147,12 +230,18 @@ class SMPLRenderer:
 
     # ---- full textured render ----
 
-    def render(self, cam, vertices, textures, get_fim: bool = False):
+    def render(self, cam, vertices, textures, get_fim: bool = False,
+               edge_gradients: bool = False):
         """Textured forward rendering (reference ``nmr.py:210-244`` /
         CUDA ``forward_texture_sampling``).
 
         textures: (B, F, T, T, T, 3).  Returns images (B, S, S, 3)
         [, fim].
+
+        Differentiability: always w.r.t. textures and (for interior pixels)
+        vertices; ``edge_gradients=True`` adds the occlusion-boundary
+        vertex-gradient term (the CUDA ``backward_pixel_map`` capability,
+        ``rasterize_cuda_kernel.cu:246+``) via ``edge_gradient_surrogate``.
         """
         fv_world = vertices_to_faces(vertices, jnp.asarray(self.faces))
         textures = self.lighting(fv_world, textures)
@@ -205,6 +294,11 @@ class SMPLRenderer:
             out = out + w[..., None] * corner_tex
 
         images = jnp.where(found[..., None], out, 0.0)
+        if edge_gradients:
+            px = 0.5 * (fv[..., :2] * S + S - 1)
+            surr = edge_gradient_surrogate(
+                fim[:, ::-1], wim[:, ::-1], images[:, ::-1], px)
+            images = images + surr[:, ::-1]
         if get_fim:
             return images, fim
         return images
