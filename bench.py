@@ -19,17 +19,18 @@ import time
 import numpy as np
 
 
-def main():
+def setup(T=30, R=4, S=256, p=200):
+    """Build the bench pipeline/params/clip (shared with bench_breakdown.py).
+
+    Returns (pipe, params, clip, T).
+    """
     import jax
     import jax.numpy as jnp
 
     from jafpro_tpu.config import Config, default_smpl_faces_path
     from jafpro_tpu.geometry.flow import SMPLFlowEngine
-    from jafpro_tpu.infer import VideoGenerator
     from jafpro_tpu.pipeline import JAFProPipeline
     from jafpro_tpu.train.common import synthetic_quad_mesh
-
-    T, R, S, p = 30, 4, 256, 200
 
     cfg = Config(image_size=S, part_size=p, maximum_ref_frames=R,
                  compute_dtype="bfloat16",
@@ -87,10 +88,21 @@ def main():
         "cams": jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (T, 1)),
         "verts": jnp.asarray(verts),
     }
+    return pipe, params, clip, T
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jafpro_tpu.infer import VideoGenerator
+
+    pipe, params, clip, T = setup()
 
     gen = VideoGenerator(
         pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
-        raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"))
+        raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"),
+        flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"))
 
     # BENCH_CLIPS > 1: serving throughput — generate a batch of independent
     # clips in one program (vmap over clips; per-frame scan batches across

@@ -54,6 +54,20 @@ def texture_warp(
               1..24), channels 1, 2 = U, V in 0..255.
     Returns: (B, S, S, 3); 0 outside the body.
 
+    Convenience form of :func:`texture_warp_atlas`; when warping many
+    frames from the same texture (the 30-frame inference scan), assemble
+    the atlas once with ``parts_to_atlas`` and call ``texture_warp_atlas``
+    directly so the (B, 800, 1200, 3) relayout is hoisted out of the loop.
+    """
+    return texture_warp_atlas(parts_to_atlas(parts), iuv255, num_parts)
+
+
+@functools.partial(jax.jit, static_argnames=("num_parts",))
+def texture_warp_atlas(
+    atlas: jnp.ndarray, iuv255: jnp.ndarray, num_parts: int = 24
+) -> jnp.ndarray:
+    """Warp an assembled (B, 4p, 6p, 3) texture atlas into image space.
+
     Reference math (``train/4:43-76``): per part, grid x =
     ((255-V)/255-0.5)*2 samples the tile's width, y = (U/255-0.5)*2 its
     height, bilinear, align_corners=True.  Because U, V are in [0, 255] the
@@ -62,7 +76,7 @@ def texture_warp(
     to per-tile sampling — one gather pass instead of 24 (24x fewer gathers;
     the per-part form was ~50 ms/frame on v5e, this is ~2 ms).
     """
-    B, P, p, _, C = parts.shape
+    p = atlas.shape[1] // 4
     pid = iuv255[..., 0]
     u = iuv255[..., 1]
     v = iuv255[..., 2]
@@ -78,7 +92,6 @@ def texture_warp(
     gy = (u / 255.0 - 0.5) * 2.0
     x_loc = (gx + 1.0) * 0.5 * (p - 1)
     y_loc = (gy + 1.0) * 0.5 * (p - 1)
-    atlas = parts_to_atlas(parts)  # (B, 4p, 6p, C)
 
     x0 = jnp.floor(x_loc)
     y0 = jnp.floor(y_loc)

@@ -49,6 +49,22 @@ class VideoGenerator:
     # batching measured slower (TUNING.md), so batch the one and scan the
     # other.  Output is identical either way.
     raster_mode: str = "scan"
+    # "batch": hoist the ENTIRE flow branch (z-buffer + barycentric
+    # transform + source-image warp) out of the frame scan as one batched
+    # pass — the branch is scan-independent (its inputs are the per-frame
+    # pose and the per-clip references) and bench_breakdown measured it at
+    # ~half of frame time, dominated by gathers that batch well.  Output is
+    # identical.  Supersedes raster_mode for the tsf path when "batch".
+    flow_mode: str = "scan"
+    # Timing diagnostics ONLY (bench_breakdown.py): component names to
+    # replace with cheap shape-preserving stand-ins so whole-program A/B
+    # deltas attribute frame time per component.  The stand-ins stay
+    # data-dependent (never constants) so XLA cannot fold the downstream
+    # graph away.  Recognized: "prep" (accumulate+inpaint+bg), "warp"
+    # (24-part texture warp), "refine" (refine CRN), "raster" (per-frame
+    # z-buffer), "flow" (raster + bc-transform + image warp), "pro"
+    # (propagation net).  Output is NOT the real pipeline under ablation.
+    ablate: frozenset = frozenset()
 
     def __post_init__(self):
         # propagation with per-sample norm shares the training parameters
@@ -68,10 +84,14 @@ class VideoGenerator:
     def _generate(self, params: Dict[str, Any], clip: Dict[str, jnp.ndarray]):
         pipe = self.pipe
         engine = pipe.flow_engine
-        inpainted, _ = pipe.prepare_textures(
-            params, clip["src_parts"], clip["ref_mask"],
-            clip["src_mask_parts"])
-        bg_out = pipe.background(params, clip["bg_incomplete"])
+        if "prep" in self.ablate:
+            inpainted = clip["src_parts"][:, 0]
+            bg_out = clip["bg_incomplete"]
+        else:
+            inpainted, _ = pipe.prepare_textures(
+                params, clip["src_parts"], clip["ref_mask"],
+                clip["src_mask_parts"])
+            bg_out = pipe.background(params, clip["bg_incomplete"])
 
         chosen = clip["chosen_frames"]          # (R,) int32 clip indices
         src_imgs = clip["src_imgs"]             # (R, S, S, 3)
@@ -89,18 +109,30 @@ class VideoGenerator:
         src_f2pts_all = src_f2verts[..., 0:2]
         src_f2pts_all = src_f2pts_all.at[..., 1].multiply(-1.0)  # (R,F,3,2)
 
-        from jafpro_tpu.data.texture import texture_warp
+        from jafpro_tpu.data.texture import parts_to_atlas, texture_warp_atlas
         from jafpro_tpu.geometry.flow import cal_bc_transform
 
         T = clip["tgt_iuv255"].shape[0]
         fb = self.frame_batch
         while T % fb:  # largest divisor of T not above frame_batch
             fb -= 1
-        inpainted_b = jnp.broadcast_to(
-            inpainted, (fb,) + inpainted.shape[1:])
+        # assemble the texture atlas ONCE per clip: the (4p, 6p, 3) relayout
+        # is frame-invariant and measured ~30% of frame time when left
+        # inside the scan (bench_breakdown, TUNING.md round 2)
+        atlas = parts_to_atlas(inpainted)
+        atlas_b = jnp.broadcast_to(atlas, (fb,) + atlas.shape[1:])
         bg_b = jnp.broadcast_to(bg_out, (fb,) + bg_out.shape[1:])
 
-        if self.raster_mode == "batch":
+        if self.flow_mode == "batch" and "flow" not in self.ablate:
+            # hoist the whole scan-independent flow branch: batched
+            # z-buffer -> batched barycentric flow -> batched source warp
+            src_pro_all = jnp.argmin(
+                jnp.abs(jnp.arange(T)[:, None] - chosen[None, :]), axis=1)
+            _, fim_all, wim_all = engine.render_fim_wim(cams, verts)
+            flow_all = cal_bc_transform(
+                src_f2pts_all[src_pro_all], fim_all, wim_all)
+            tsf_all = engine.warp_image(src_imgs[src_pro_all], flow_all)
+        elif self.raster_mode == "batch":
             # one batched z-buffer over every target pose; the scan below
             # consumes precomputed fim/wim slices
             _, fim_all, wim_all = engine.render_fim_wim(cams, verts)
@@ -111,20 +143,43 @@ class VideoGenerator:
             src_pro = jnp.argmin(dist, axis=1)            # (fb,)
             prev_img = src_imgs[src_pro]                  # (fb, S, S, 3)
 
-            warped = texture_warp(inpainted_b, iuv255)
-            refined, fg_mask = pipe.refine.apply(params["refine"], warped, S)
+            if "warp" in self.ablate:
+                warped = iuv  # shape-matched, data-dependent stand-in
+            else:
+                warped = texture_warp_atlas(atlas_b, iuv255)
+            if "refine" in self.ablate:
+                refined = warped
+                fg_mask = jnp.mean(warped, -1, keepdims=True) * 1e-6 + 0.5
+            else:
+                refined, fg_mask = pipe.refine.apply(
+                    params["refine"], warped, S)
             fusion = refined * fg_mask + bg_b * (1.0 - fg_mask)
 
-            if self.raster_mode == "batch":
-                tsf_fim, tsf_wim = xs[4], xs[5]
+            if "flow" in self.ablate:
+                tsf = prev_img
+            elif self.flow_mode == "batch":
+                tsf = xs[4]
             else:
-                _, tsf_fim, tsf_wim = engine.render_fim_wim(cams[i], verts[i])
-            flow = cal_bc_transform(
-                src_f2pts_all[src_pro], tsf_fim, tsf_wim)
-            tsf = engine.warp_image(prev_img, flow)
+                if self.raster_mode == "batch":
+                    tsf_fim, tsf_wim = xs[4], xs[5]
+                elif "raster" in self.ablate:
+                    # valid face ids with some -1 background, derived from
+                    # runtime data so XLA keeps the downstream gathers
+                    tsf_fim = iuv255[..., 0].astype(jnp.int32) % 97 - 1
+                    tsf_wim = iuv * 0.33 + 0.33
+                else:
+                    _, tsf_fim, tsf_wim = engine.render_fim_wim(
+                        cams[i], verts[i])
+                flow = cal_bc_transform(
+                    src_f2pts_all[src_pro], tsf_fim, tsf_wim)
+                tsf = engine.warp_image(prev_img, flow)
 
-            out = self._pro_infer.apply(
-                params["pro"], fusion, tsf, iuv, smpl_mask)
+            if "pro" in self.ablate:
+                out = {"pred_target": fusion,
+                       "weight": jnp.mean(tsf, -1, keepdims=True) * 1e-6 + .5}
+            else:
+                out = self._pro_infer.apply(
+                    params["pro"], fusion, tsf, iuv, smpl_mask)
             return carry, {
                 "final": out["pred_target"],
                 "coarse": fusion,
@@ -137,7 +192,9 @@ class VideoGenerator:
 
         xs = (fold(jnp.arange(T)), fold(clip["tgt_iuv255"]),
               fold(clip["tgt_iuv"]), fold(clip["smpl_mask"]))
-        if self.raster_mode == "batch":
+        if self.flow_mode == "batch" and "flow" not in self.ablate:
+            xs = xs + (fold(tsf_all),)
+        elif self.raster_mode == "batch":
             xs = xs + (fold(fim_all), fold(wim_all))
         _, frames = jax.lax.scan(frame_step, None, xs)
         # (T//fb, fb, ...) -> (T, ...)

@@ -109,11 +109,10 @@ def test_curriculum_sampler():
     assert (counts[1:] > 10).all()  # all of 1..4 refs appear
 
 
-def test_video_generator(setup):
-    pipe, params, batch = setup
+def _tiny_clip(batch):
     verts, _ = synthetic_quad_mesh(6)
-    T, R, S = 3, 2, 64
-    clip = {
+    T, R = 3, 2
+    return {
         "src_parts": batch["src_parts"],
         "src_mask_parts": batch["src_mask_parts"],
         "ref_mask": batch["ref_mask"],
@@ -126,11 +125,36 @@ def test_video_generator(setup):
         "cams": jnp.tile(jnp.asarray([[1.0, 0, 0]]), (T, 1)),
         "verts": jnp.tile(jnp.asarray(verts)[None], (T, 1, 1)),
     }
+
+
+def test_video_generator(setup):
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    T, S = 3, 64
     gen = VideoGenerator(pipe)
     out = gen(params, clip)
     assert out["final"].shape == (T, S, S, 3)
     assert out["mask"].shape == (T, S, S, 1)
     assert np.isfinite(np.asarray(out["final"])).all()
+
+
+def test_video_generator_ablations(setup):
+    """bench_breakdown.py's diagnostic variants: every single-component
+    stand-in must compile and keep the output contract (shapes/finite),
+    and the empty set must be the real pipeline bit-for-bit."""
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    T, S = clip["tgt_iuv255"].shape[0], pipe.cfg.image_size
+    ref = VideoGenerator(pipe)(params, clip)
+    same = VideoGenerator(pipe, ablate=frozenset())(params, clip)
+    np.testing.assert_array_equal(np.asarray(ref["final"]),
+                                  np.asarray(same["final"]))
+    for name in ("prep", "warp", "refine", "raster", "flow", "pro"):
+        out = VideoGenerator(pipe, ablate=frozenset({name}))(params, clip)
+        assert out["final"].shape == (T, S, S, 3), name
+        assert out["mask"].shape == (T, S, S, 1), name
+        for k in ("final", "coarse", "mask", "tsf"):
+            assert np.isfinite(np.asarray(out[k])).all(), (name, k)
 
 
 def test_stage3_step(setup):
@@ -230,3 +254,9 @@ def test_video_generator_raster_mode_invariance(setup):
     out_batch = VideoGenerator(pipe, raster_mode="batch")(params, clip)
     np.testing.assert_array_equal(np.asarray(out_scan["final"]),
                                   np.asarray(out_batch["final"]))
+    # flow_mode='batch' hoists the whole flow branch (z-buffer + barycentric
+    # flow + source warp) out of the scan; must also be bit-identical
+    out_flow = VideoGenerator(pipe, flow_mode="batch")(params, clip)
+    for k in ("final", "coarse", "mask", "tsf"):
+        np.testing.assert_array_equal(np.asarray(out_scan[k]),
+                                      np.asarray(out_flow[k]), err_msg=k)
