@@ -1,5 +1,6 @@
 """Metrics, checkpoints, angle selection, losses, VGG converter."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -225,3 +226,55 @@ def test_lpips():
     # stack helper
     pred = RNG.rand(2, 64, 64, 3).astype(np.float32)
     assert lpips_pair(variables, pred, pred) < 1e-5
+
+
+def test_dashboard_visualizer(tmp_path):
+    """Reference VisdomVisualizer API surface (utils/visdom_visualizer.py)
+    over the file-backed dashboard: image grids, pred/gt windows, per-step
+    skeleton charts with the LSP(-plus) edge lists."""
+    from jafpro_tpu.utils.visualizer import DashboardVisualizer, skeleton_svg
+
+    viz = DashboardVisualizer("exp1", out_dir=str(tmp_path), time_step=2)
+    imgs = RNG.uniform(-1, 1, (3, 3, 16, 16)).astype(np.float32)  # TCHW
+    viz.vis_named_img("samples", imgs)
+    viz.vis_preds_gts(preds=imgs[:, :1], gts=imgs[:, :1])
+    kp = RNG.uniform(-1, 1, (2, 19, 2)).astype(np.float32)
+    viz.vis_keypoints(kp, kp[:, :14])
+
+    d = tmp_path / "exp1"
+    assert (d / "samples.png").exists()
+    assert (d / "predicted_images.png").exists()
+    assert (d / "ground_truth_images.png").exists()
+    assert (d / "pred_keypoints_1.svg").exists()
+    assert (d / "gt_keypoints_0.svg").exists()
+    index = (d / "index.html").read_text()
+    for w in ("samples.png", "pred_keypoints_0.svg"):
+        assert w in index
+    # edge counts: LSP 13 bones, LSP-plus 17
+    assert skeleton_svg(kp[0], "t", plus=True).count("<line") == 17
+    assert skeleton_svg(kp[0, :14], "t", plus=False).count("<line") == 13
+    # NHWC + transpose path and grayscale (T,H,W) path
+    viz.vis_named_img("nhwc", np.transpose(imgs, (0, 2, 3, 1)),
+                      transpose=True)
+    viz.vis_named_img("gray", imgs[:, 0])
+    assert (d / "nhwc.png").exists() and (d / "gray.png").exists()
+
+
+def test_video_makers(tmp_path):
+    """make_video / fuse_image / fuse_video (reference utils/video.py)."""
+    import cv2
+
+    from jafpro_tpu.utils.visualizer import fuse_image, fuse_video, make_video
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.jpg")
+        cv2.imwrite(p, RNG.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+        paths.append(p)
+    out = make_video(str(tmp_path / "vid.mp4"), paths, fps=4)
+    assert os.path.getsize(out) > 0
+    fused = fuse_image(paths, 2, 2)
+    assert fused.shape == (64, 64, 3)
+    out2 = fuse_video([paths, paths], str(tmp_path / "fused.mp4"), 1, 2,
+                      fps=4)
+    assert os.path.getsize(out2) > 0
