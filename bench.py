@@ -57,7 +57,8 @@ def setup(T=30, R=4, S=256, p=200):
 
     engine = SMPLFlowEngine.create(
         faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
-        band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")))
+        band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")),
+        depth_mode=os.environ.get("BENCH_DEPTH_MODE", "exact"))
     cap_env = os.environ.get("BENCH_BAND_CAPACITY", "auto")
     cams_np = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (T, 1))
     if cap_env == "auto":
@@ -102,7 +103,8 @@ def main():
     gen = VideoGenerator(
         pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
         raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"),
-        flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"))
+        flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"),
+        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"))
 
     # BENCH_CLIPS > 1: serving throughput — generate a batch of independent
     # clips in one program (vmap over clips; per-frame scan batches across

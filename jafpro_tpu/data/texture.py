@@ -117,6 +117,64 @@ def texture_warp_atlas(
     return jnp.where((pid > 0)[..., None], out, 0.0)
 
 
+def build_texture_warp_lut(parts: jnp.ndarray, grid: int = 256) -> jnp.ndarray:
+    """Precompute the warp table for integer-valued IUV maps.
+
+    DensePose IUV maps are uint8 images, so U and V only ever take the
+    ``grid``=256 integer values 0..255 — every bilinear sample position of
+    ``texture_warp`` lies on a fixed 256x256 lattice per part tile.  This
+    evaluates the tile at all lattice points once so the per-frame warp
+    becomes a single-tap gather (:func:`texture_warp_lut`) instead of four
+    random-access HBM taps (the reference re-runs ``grid_sample`` per frame,
+    ``train/4.convLSTM_flowpro_interval.py:43-76``).
+
+    Bilinear interpolation is separable, so the table is built with two
+    small matmuls on the MXU — no gathers at all:
+      ``lut[k, u, v] = Wy[u] @ parts[k] @ Wx[v]^T``
+    with ``Wy`` rows at y = u*(p-1)/255 and ``Wx`` rows at
+    x = (255-v)*(p-1)/255 (the V axis is mirrored exactly as the reference's
+    grid ``x = ((255-V)/255-0.5)*2``).
+
+    Args:
+      parts: (B, P, p, p, C) texture tiles.
+    Returns: (B, P, grid, grid, C) — lut[b, k, u, v] is the warped value for
+      a pixel with part id k+1, U=u, V=v.
+    """
+    from jafpro_tpu.ops.sampling import _interp_matrix
+
+    p = parts.shape[2]
+    Wy = jnp.asarray(_interp_matrix(p, grid, True))        # row u: u*(p-1)/255
+    Wx = jnp.asarray(_interp_matrix(p, grid, True)[::-1])  # row v: (255-v)*(p-1)/255
+    x = parts.astype(jnp.float32)
+    y = jnp.einsum("up,bkpqc->bkuqc", Wy, x)
+    y = jnp.einsum("vq,bkuqc->bkuvc", Wx, y)
+    return y.astype(parts.dtype)
+
+
+def texture_warp_lut(lut: jnp.ndarray, iuv255: jnp.ndarray) -> jnp.ndarray:
+    """Single-tap texture warp through a :func:`build_texture_warp_lut` table.
+
+    Exact (to interpolation-order rounding) for integer-valued IUV, which is
+    always the case for uint8 DensePose data; non-integer coordinates are
+    rounded to the nearest lattice point.  Differentiable w.r.t. the texture
+    through the LUT build's matmuls + this gather.
+
+    Args:
+      lut: (B, P, G, G, C); iuv255: (B, S, S, 3).
+    Returns: (B, S, S, C); 0 outside the body.
+    """
+    B, P, G, _, C = lut.shape
+    pid = iuv255[..., 0]
+    part = jnp.clip(pid.astype(jnp.int32) - 1, 0, P - 1)
+    u = jnp.clip(jnp.floor(iuv255[..., 1] + 0.5).astype(jnp.int32), 0, G - 1)
+    v = jnp.clip(jnp.floor(iuv255[..., 2] + 0.5).astype(jnp.int32), 0, G - 1)
+    flat = lut.reshape(B, P * G * G, C)
+    idx = (part * G + u) * G + v
+    out = jnp.take_along_axis(flat, idx.reshape(B, -1)[..., None], axis=1)
+    out = out.reshape(pid.shape + (C,))
+    return jnp.where((pid > 0)[..., None], out, 0.0)
+
+
 def unwrap_texture(
     image: np.ndarray, iuv255: np.ndarray, tex_size: int = 32,
     part_size: int = 200,

@@ -74,6 +74,11 @@ class SMPLFlowEngine:
     # mesh.
     band_rows: int = 16
     band_capacity: int = 4096
+    # "exact": CUDA clamp/renormalize/divide depth per (pixel, face);
+    # "affine": per-face affine 1/zp (rasterizer.py) — identical up to
+    # ~1e-6 rounding (winner can differ only at z-fighting pixels),
+    # markedly less VPU work per pair.
+    depth_mode: str = "exact"
 
     @classmethod
     def create(
@@ -145,6 +150,7 @@ class SMPLFlowEngine:
                 fv, image_size=self.image_size, near=self.near,
                 far=self.far, chunk=self.chunk,
                 band_rows=self.band_rows, band_capacity=self.band_capacity,
+                depth_mode=self.depth_mode,
             )
         return fv, fim, wim
 

@@ -56,6 +56,14 @@ class VideoGenerator:
     # ~half of frame time, dominated by gathers that batch well.  Output is
     # identical.  Supersedes raster_mode for the tsf path when "batch".
     flow_mode: str = "scan"
+    # "lut": precompute the warp table once per clip (two MXU matmuls over
+    # the integer-UV lattice, build_texture_warp_lut) and warp each frame
+    # with a single-tap gather — 4x fewer random HBM loads than the 4-tap
+    # atlas gather ("gather"), which bench_breakdown measured at ~5.5
+    # ms/frame HBM-bound.  Exact for integer-valued (uint8-decoded) IUV,
+    # i.e. all real DensePose data; "gather" keeps the bilinear form for
+    # arbitrary float coordinates.
+    warp_mode: str = "lut"
     # Timing diagnostics ONLY (bench_breakdown.py): component names to
     # replace with cheap shape-preserving stand-ins so whole-program A/B
     # deltas attribute frame time per component.  The stand-ins stay
@@ -109,18 +117,24 @@ class VideoGenerator:
         src_f2pts_all = src_f2verts[..., 0:2]
         src_f2pts_all = src_f2pts_all.at[..., 1].multiply(-1.0)  # (R,F,3,2)
 
-        from jafpro_tpu.data.texture import parts_to_atlas, texture_warp_atlas
+        from jafpro_tpu.data.texture import (
+            build_texture_warp_lut, parts_to_atlas, texture_warp_atlas,
+            texture_warp_lut)
         from jafpro_tpu.geometry.flow import cal_bc_transform
 
         T = clip["tgt_iuv255"].shape[0]
         fb = self.frame_batch
         while T % fb:  # largest divisor of T not above frame_batch
             fb -= 1
-        # assemble the texture atlas ONCE per clip: the (4p, 6p, 3) relayout
-        # is frame-invariant and measured ~30% of frame time when left
-        # inside the scan (bench_breakdown, TUNING.md round 2)
-        atlas = parts_to_atlas(inpainted)
-        atlas_b = jnp.broadcast_to(atlas, (fb,) + atlas.shape[1:])
+        # assemble the warp source ONCE per clip (frame-invariant; leaving
+        # the relayout inside the scan measured ~30% of frame time —
+        # bench_breakdown, TUNING.md round 2): either the (4p, 6p, 3) atlas
+        # for the 4-tap gather, or the integer-UV LUT for the 1-tap form
+        if self.warp_mode == "lut":
+            warp_src = build_texture_warp_lut(inpainted)
+        else:
+            warp_src = parts_to_atlas(inpainted)
+        warp_src_b = jnp.broadcast_to(warp_src, (fb,) + warp_src.shape[1:])
         bg_b = jnp.broadcast_to(bg_out, (fb,) + bg_out.shape[1:])
 
         if self.flow_mode == "batch" and "flow" not in self.ablate:
@@ -145,8 +159,10 @@ class VideoGenerator:
 
             if "warp" in self.ablate:
                 warped = iuv  # shape-matched, data-dependent stand-in
+            elif self.warp_mode == "lut":
+                warped = texture_warp_lut(warp_src_b, iuv255)
             else:
-                warped = texture_warp_atlas(atlas_b, iuv255)
+                warped = texture_warp_atlas(warp_src_b, iuv255)
             if "refine" in self.ablate:
                 refined = warped
                 fg_mask = jnp.mean(warped, -1, keepdims=True) * 1e-6 + 0.5

@@ -96,6 +96,26 @@ def test_rasterizer_matches_oracle(chunk, band_rows, band_capacity):
     assert (wim[~cover] == 0).all()
 
 
+@pytest.mark.parametrize("band_rows", [0, 8])
+def test_rasterizer_affine_depth_matches_oracle(band_rows):
+    """depth_mode='affine' (per-face affine 1/zp, no clamps/divide in the
+    scan) must agree with the float64 clamped-form oracle away from
+    z-fighting — which random scenes don't produce, so agreement here is
+    exact, like the 'exact' mode's test."""
+    S, near, far = 32, 0.1, 25.0
+    fv = random_faces(50, seed=1)
+    fim, wim = rasterize_fim_wim(
+        jnp.asarray(fv)[None], image_size=S, near=near, far=far, chunk=16,
+        flip_y=False, band_rows=band_rows, band_capacity=4096,
+        depth_mode="affine")
+    fim, wim = np.asarray(fim[0]), np.asarray(wim[0])
+    ref_fim, ref_wim = numpy_raster_oracle(fv.astype(np.float64), S, near, far)
+    cover = ref_fim >= 0
+    np.testing.assert_array_equal(fim, ref_fim)
+    np.testing.assert_allclose(wim[cover], ref_wim[cover], atol=1e-4)
+    assert (wim[~cover] == 0).all()
+
+
 def test_band_occupancy_predicts_exactness():
     from jafpro_tpu.geometry.rasterizer import band_occupancy
 

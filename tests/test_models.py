@@ -162,6 +162,30 @@ def test_texture_warp_matches_reference_loop():
     np.testing.assert_allclose(ours[0], ref, atol=1e-5)
 
 
+def test_texture_warp_lut_matches_gather():
+    """The integer-UV LUT warp (build once, 1-tap gather per frame) must
+    agree with the 4-tap bilinear warp wherever IUV is integer-valued —
+    which is always, for uint8 DensePose data.  Covers background pixels
+    (pid 0) and the u/v extremes 0 and 255."""
+    from jafpro_tpu.data.texture import build_texture_warp_lut, texture_warp_lut
+
+    rng = np.random.RandomState(11)
+    S, P = 32, 24
+    parts = rng.randn(2, P, 16, 16, 3).astype(np.float32)
+    iuv = np.zeros((2, S, S, 3), np.float32)
+    iuv[..., 0] = rng.randint(0, 25, size=(2, S, S))
+    iuv[..., 1:] = rng.randint(0, 256, size=(2, S, S, 2))
+    iuv[0, 0, :4, 1:] = [[0, 0], [0, 255], [255, 0], [255, 255]]
+
+    lut = build_texture_warp_lut(jnp.asarray(parts))
+    assert lut.shape == (2, P, 256, 256, 3)
+    ours = np.asarray(texture_warp_lut(lut, jnp.asarray(iuv)))
+    ref = np.asarray(texture_warp(jnp.asarray(parts), jnp.asarray(iuv)))
+    # separable (two-matmul) interpolation vs fused 4-tap: rounding-order ulps
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    assert (ours[iuv[..., 0] == 0] == 0).all()
+
+
 def test_sample_layer_norm_matches_torch_reference():
     """The CRN's custom LayerNorm has unusual semantics (per-sample stats
     over all dims, Bessel-corrected std, (x-mean)/(std+eps)) — check against

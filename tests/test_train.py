@@ -157,6 +157,17 @@ def test_video_generator_ablations(setup):
             assert np.isfinite(np.asarray(out[k])).all(), (name, k)
 
 
+def test_video_generator_warp_mode_invariance(setup):
+    """warp_mode='lut' (per-clip integer-UV table + 1-tap gather) must match
+    warp_mode='gather' (4-tap atlas gather) on integer IUV data."""
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    out_lut = VideoGenerator(pipe, warp_mode="lut")(params, clip)
+    out_gather = VideoGenerator(pipe, warp_mode="gather")(params, clip)
+    np.testing.assert_allclose(np.asarray(out_lut["final"]),
+                               np.asarray(out_gather["final"]), atol=2e-5)
+
+
 def test_stage3_step(setup):
     from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
 
