@@ -10,7 +10,7 @@ Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[:DEPTH_MODE]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
-  DEPTH_MODE to exact).
+  DEPTH_MODE to affine).
 """
 
 import json
@@ -30,7 +30,7 @@ def main():
         rows = parts[3] if len(parts) > 3 else "16"
         flow = parts[4] if len(parts) > 4 else "scan"
         warp = parts[5] if len(parts) > 5 else "lut"
-        depth = parts[6] if len(parts) > 6 else "exact"
+        depth = parts[6] if len(parts) > 6 else "affine"
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode

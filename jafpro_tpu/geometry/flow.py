@@ -74,11 +74,12 @@ class SMPLFlowEngine:
     # mesh.
     band_rows: int = 16
     band_capacity: int = 4096
-    # "exact": CUDA clamp/renormalize/divide depth per (pixel, face);
-    # "affine": per-face affine 1/zp (rasterizer.py) — identical up to
-    # ~1e-6 rounding (winner can differ only at z-fighting pixels),
-    # markedly less VPU work per pair.
-    depth_mode: str = "exact"
+    # "affine" (default): per-face affine 1/zp (rasterizer.py) — identical
+    # to the CUDA clamp/renormalize/divide chain up to ~1e-6 rounding (the
+    # winner can differ only at z-fighting pixels), markedly less VPU work
+    # per pair; measured 49.4 -> 55.1 frames/s in-session (TUNING.md).
+    # "exact": the CUDA formula bit-for-bit — parity oracles pin this.
+    depth_mode: str = "affine"
 
     @classmethod
     def create(

@@ -230,7 +230,11 @@ def test_composed_generator_parity(ref):
     cfg = Config(image_size=S, part_size=s, maximum_ref_frames=R,
                  compute_dtype="float32")
     engine = SMPLFlowEngine.create(faces=faces, image_size=S, chunk=64,
-                                   band_rows=0)
+                                   band_rows=0, depth_mode="exact")
+    # depth_mode="exact" pins the CUDA depth formula bit-for-bit — this
+    # test is the composed-parity oracle; "affine" (production default) is
+    # equal up to z-fighting-pixel winner flips and is oracle-tested
+    # separately in test_geometry.py.
     pipe = JAFProPipeline(cfg, flow_engine=engine)
     params = {
         "accu": load_torch_accumulate(accu_t.state_dict()),
