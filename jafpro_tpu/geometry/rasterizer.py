@@ -57,9 +57,11 @@ def _zbuffer_pass(xc, yc, payload, frontc, idsc, xi, yi, xp, yp,
                   inv_near, inv_far, mode="exact"):
     """Blocked z-buffer over face chunks for one pixel set.
 
-    xc/yc: (n_chunks, K, 3); frontc: (n_chunks, K) validity,
-    idsc: (n_chunks, K) int32 ORIGINAL face ids (ascending within/between
-    chunks so first-face-wins tie-breaking matches the CUDA loop order).
+    xc/yc: (n_chunks, K, 3) vertex coords (None in "fused" mode — the edge
+    geometry lives in the payload's precomputed coefficients); frontc:
+    (n_chunks, K) validity, idsc: (n_chunks, K) int32 ORIGINAL face ids
+    (ascending within/between chunks so first-face-wins tie-breaking
+    matches the CUDA loop order).
     xi/yi/xp/yp: (P,) pixel integer / clip coords.
 
     ``payload`` carries the per-face depth data, shaped by ``mode``:
@@ -75,10 +77,49 @@ def _zbuffer_pass(xc, yc, payload, frontc, idsc, xi, yi, xp, yp,
         to 3 values.  Differs from "exact" only by rounding-level noise
         (~1e-6 relative), so the winning face can differ solely where two
         faces z-fight within that tolerance.
-    Returns (best_q (P,), idx_min (P,) int32 [-1 none]).
+      * "fused": (ec (n_chunks, K, 3, 3), qc (n_chunks, K, 3)) — affine
+        depth PLUS (a) the three half-plane tests as precomputed per-face
+        affine edge functions of the integer pixel coords (2 FMAs + sign
+        test per edge instead of the 4 subtract/multiply cross-product
+        form) and (b) the chunk argmax + gather + compare + two selects
+        replaced by ONE uint32 max over ``floor(q*scale)*16384 + (16383 -
+        face_id)`` — depth quantized to 18 bits over (0, 1/near), id in
+        the low 14 (requires F <= 16383; ties at the ~4e-5·(1/near)
+        quantization step resolve to the lowest id, the CUDA tie rule).
+        Cuts per-(pixel, face) VPU work another ~30% on top of "affine";
+        same rounding-level caveat at z-fights/edge-marginal pixels.
+    Returns (best_q (P,), idx_min (P,)) for exact/affine; (best_pv (P,)
+    uint32 [0 none],) for fused.
     """
-    dtype = xc.dtype
+    dtype = xi.dtype
     P = xi.shape[0]
+
+    if mode == "fused":
+        # scale q in (0, inv_near) to 18 bits (constant-folded by XLA)
+        scale = (2.0**18 - 1.0) / inv_near
+
+        def step_fused(best_pv, inputs):
+            pl, frontk, ids = inputs
+            ek, qk = pl  # (K, 3, 3), (K, 3)
+            # neutralize culled/padded slots once per chunk (O(K), not O(PK))
+            ek = jnp.where(frontk[:, None, None], ek, -1.0)
+            e0 = ek[:, 0, 0][None] * xi[:, None] + ek[:, 0, 1][None] * yi[:, None] + ek[:, 0, 2][None]
+            e1 = ek[:, 1, 0][None] * xi[:, None] + ek[:, 1, 1][None] * yi[:, None] + ek[:, 1, 2][None]
+            e2 = ek[:, 2, 0][None] * xi[:, None] + ek[:, 2, 1][None] * yi[:, None] + ek[:, 2, 2][None]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            q = (qk[:, 0][None] * xi[:, None]
+                 + qk[:, 1][None] * yi[:, None] + qk[:, 2][None])
+            valid = inside & (q < inv_near) & (q > inv_far)
+            qi = (jnp.clip(q, 0.0, inv_near) * scale).astype(jnp.uint32)
+            idpack = (jnp.uint32(16383) - ids.astype(jnp.uint32))[None]
+            pv = jnp.where(valid, qi * jnp.uint32(16384) + idpack,
+                           jnp.uint32(0))
+            return jnp.maximum(best_pv, jnp.max(pv, axis=1)), None
+
+        best_pv, _ = jax.lax.scan(
+            step_fused, jnp.zeros((P,), jnp.uint32),
+            (payload, frontc, idsc))
+        return (best_pv,)
 
     def step(carry, inputs):
         best_q, idx_min = carry  # best_q = max over faces of 1/zp
@@ -167,13 +208,33 @@ def _rasterize_single(
     iz = 1.0 / z  # (F, 3)
     inv_far = jnp.asarray(1.0 / far, dtype)
     inv_near = jnp.asarray(1.0 / near, dtype)
-    if depth_mode == "affine":
+    if depth_mode == "fused" and F > 16383:
+        depth_mode = "affine"  # packed ids carry 14 bits (SMPL F=13776 fits)
+    if depth_mode in ("affine", "fused"):
         # 1/zp as an affine function of integer pixel coords: the unclamped
         # barycentric weights w_k = inv[k,0]*xi + inv[k,1]*yi + inv[k,2]
         # sum to exactly 1, so q = sum_k w_k iz_k = qc0*xi + qc1*yi + qc2
         qcoef = jnp.einsum("fkc,fk->fc", inv, iz)  # (F, 3)
     else:
         qcoef = None
+    if depth_mode == "fused":
+        # the three half-plane tests, each rewritten as a per-face affine
+        # function of INTEGER pixel coords: with edge k anchored at vertex
+        # a=v_k toward b=v_{k+1 mod 3} (the CUDA test order),
+        #   e = (yp - ya)*dx - (xp - xa)*dy,  xp = (2*xi + 1 - S)/S
+        #     = ea*xi + eb*yi + ec  — 2 FMAs + a sign test per pair instead
+        # of 4 subtract/multiplies + compare; same sign away from
+        # rounding-marginal (sub-1e-6 relative) edge distances
+        dx = jnp.roll(x, -1, axis=1) - x  # (F, 3) per-edge deltas
+        dy = jnp.roll(y, -1, axis=1) - y
+        ea = -2.0 * dy / S
+        eb = 2.0 * dx / S
+        ec = (dx - dy) * (float(1 - S) / S) + dy * x - dx * y
+        ecoef = jnp.stack([ea, eb, ec], axis=-1)  # (F, 3 edges, 3 coefs)
+        ok = (front & jnp.all(jnp.isfinite(qcoef), axis=1)
+              & jnp.all(jnp.isfinite(ecoef), axis=(1, 2)))
+        ecoef = jnp.where(ok[:, None, None], ecoef, -1.0)
+        qcoef = jnp.where(ok[:, None], qcoef, 0.0)
 
     if band_rows and S % band_rows == 0:
         nb = S // band_rows
@@ -198,18 +259,23 @@ def _rasterize_single(
         valid = ids < F
         safe = jnp.minimum(ids, F - 1)
 
-        xg = x[safe]            # (nb, K, 3)
-        yg = y[safe]
-        if depth_mode == "affine":
+        if depth_mode == "fused":
+            # edges live in the precomputed coefficients — no x/y gathers
+            xg = yg = None
+            depth_g = (ecoef[safe], qcoef[safe])          # (nb,K,3,3)+(nb,K,3)
+        elif depth_mode == "affine":
+            xg, yg = x[safe], y[safe]                     # (nb, K, 3)
             depth_g = (qcoef[safe],)                      # (nb, K, 3)
         else:
+            xg, yg = x[safe], y[safe]
             depth_g = (iz[safe], inv[safe])               # + (nb, K, 3, 3)
 
         n_chunks = -(-K // chunk)
         pad = n_chunks * chunk - K
         if pad:
-            xg = jnp.pad(xg, ((0, 0), (0, pad), (0, 0)))
-            yg = jnp.pad(yg, ((0, 0), (0, pad), (0, 0)))
+            if xg is not None:
+                xg = jnp.pad(xg, ((0, 0), (0, pad), (0, 0)))
+                yg = jnp.pad(yg, ((0, 0), (0, pad), (0, 0)))
             depth_g = jax.tree_util.tree_map(
                 lambda a: jnp.pad(
                     a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2),
@@ -227,8 +293,8 @@ def _rasterize_single(
             yp = (2.0 * yi + 1 - S) / S
             xp = (2.0 * xi_b + 1 - S) / S
             return _zbuffer_pass(
-                xb.reshape(n_chunks, chunk, 3),
-                yb.reshape(n_chunks, chunk, 3),
+                None if xb is None else xb.reshape(n_chunks, chunk, 3),
+                None if yb is None else yb.reshape(n_chunks, chunk, 3),
                 jax.tree_util.tree_map(
                     lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
                     depth_b),
@@ -240,11 +306,15 @@ def _rasterize_single(
         # live at a time — a vmap here keeps all nb bands' temporaries
         # resident, which OOMs the batched training step (2 rasterizations
         # per iter under a batch-4 GAN step)
-        best_q, idx_min = jax.lax.map(
-            lambda t: one_band(*t),
-            (xg, yg, depth_g, valid, safe, r0))           # (nb, Pb)
-        best_q = best_q.reshape(S * S)
-        idx_min = idx_min.reshape(S * S)
+        if depth_mode == "fused":
+            out = jax.lax.map(
+                lambda t: one_band(None, None, *t),
+                (depth_g, valid, safe, r0))               # ((nb, Pb),)
+        else:
+            out = jax.lax.map(
+                lambda t: one_band(*t),
+                (xg, yg, depth_g, valid, safe, r0))       # 2 x (nb, Pb)
+        out = tuple(a.reshape(S * S) for a in out)
         P = S * S
         yi = jnp.repeat(jnp.arange(S, dtype=dtype), S)
         xi = jnp.tile(jnp.arange(S, dtype=dtype), S)
@@ -253,7 +323,9 @@ def _rasterize_single(
         n_chunks = -(-F // chunk)
         pad = n_chunks * chunk - F
         ids = jnp.arange(F, dtype=jnp.int32)
-        if depth_mode == "affine":
+        if depth_mode == "fused":
+            depth_full = (ecoef, qcoef)
+        elif depth_mode == "affine":
             depth_full = (qcoef,)
         else:
             depth_full = (iz, inv)
@@ -274,9 +346,10 @@ def _rasterize_single(
         xp = (2.0 * xi + 1 - S) / S
         yp = (2.0 * yi + 1 - S) / S
 
-        best_q, idx_min = _zbuffer_pass(
-            x.reshape(n_chunks, chunk, 3),
-            y.reshape(n_chunks, chunk, 3),
+        fused = depth_mode == "fused"
+        out = _zbuffer_pass(
+            None if fused else x.reshape(n_chunks, chunk, 3),
+            None if fused else y.reshape(n_chunks, chunk, 3),
             jax.tree_util.tree_map(
                 lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
                 depth_full),
@@ -284,11 +357,26 @@ def _rasterize_single(
             ids.reshape(n_chunks, chunk),
             xi, yi, xp, yp, inv_near, inv_far, depth_mode)
 
+    if depth_mode == "fused":
+        # unpack (18-bit quantized 1/zp | 14-bit reversed id); the output
+        # depth is recomputed UNquantized from the winner's affine coefs
+        (best_pv,) = out
+        found = best_pv > 0
+        idx_min = jnp.where(
+            found,
+            jnp.int32(16383) - (best_pv & jnp.uint32(16383)).astype(jnp.int32),
+            jnp.int32(-1))
+        safe_idx = jnp.where(found, idx_min, 0)
+        qg = qcoef[safe_idx]  # (P, 3)
+        best_q = qg[:, 0] * xi + qg[:, 1] * yi + qg[:, 2]
+        best_q = jnp.where(found, best_q, 0.0)
+    else:
+        best_q, idx_min = out
+        found = idx_min >= 0
+        safe_idx = jnp.where(found, idx_min, 0)
+
     depth_min = jnp.where(best_q > 0, 1.0 / jnp.maximum(best_q, 1e-20),
                           jnp.asarray(far, dtype))
-
-    found = idx_min >= 0
-    safe_idx = jnp.where(found, idx_min, 0)
 
     # recompute winning-face weights with one gather
     inv_w = inv[safe_idx]  # (P, 3, 3)
@@ -397,6 +485,17 @@ def rasterize_fim_wim(
     to ~1e-6 relative rounding, so the selected face can differ only at
     z-fighting pixels; the weight map is always recomputed with the exact
     clamped formula for the winning face.
+
+    ``depth_mode="fused"`` adds two more VPU cuts on top of "affine": the
+    half-plane tests become precomputed per-face affine edge functions and
+    the per-chunk (argmax, gather, compare, select) depth race becomes ONE
+    uint32 max over packed (quantized 1/zp | reversed face id) words (see
+    ``_zbuffer_pass``).  Output differs from "exact" only at edge-marginal
+    pixels (sub-1e-6 relative edge distances round differently) and where
+    faces z-fight within the ~4e-5·(1/near) depth quantization step (ties
+    resolve to the lowest face id, the CUDA rule); the emitted weight and
+    depth maps are always recomputed exactly for the winning face.
+    Requires F <= 16383 (falls back to "affine" above that).
     """
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far,

@@ -116,6 +116,60 @@ def test_rasterizer_affine_depth_matches_oracle(band_rows):
     assert (wim[~cover] == 0).all()
 
 
+@pytest.mark.parametrize("band_rows,chunk", [(0, 7), (16, 64), (8, 16)])
+def test_rasterizer_fused_matches_oracle(band_rows, chunk):
+    """depth_mode='fused' (affine 1/zp + precomputed affine edge functions
+    + packed uint32 (quantized-depth | reversed-id) single-max race) must
+    agree with the float64 clamped-form oracle away from edge-marginal
+    rounding and sub-quantization z-fights — which random scenes don't
+    produce, so agreement here is exact, like the other modes' tests."""
+    S, near, far = 32, 0.1, 25.0
+    fv = random_faces(50, seed=1)
+    fim, wim, dim = rasterize_fim_wim(
+        jnp.asarray(fv)[None], image_size=S, near=near, far=far, chunk=chunk,
+        flip_y=False, band_rows=band_rows, band_capacity=4096,
+        depth_mode="fused", return_depth=True)
+    fim, wim = np.asarray(fim[0]), np.asarray(wim[0])
+    ref_fim, ref_wim = numpy_raster_oracle(fv.astype(np.float64), S, near, far)
+    cover = ref_fim >= 0
+    np.testing.assert_array_equal(fim, ref_fim)
+    np.testing.assert_allclose(wim[cover], ref_wim[cover], atol=1e-4)
+    assert (wim[~cover] == 0).all()
+    # the emitted depth is recomputed UNquantized from the winner's affine
+    # coefficients — compare against the exact mode's depth map
+    _, _, dim_exact = rasterize_fim_wim(
+        jnp.asarray(fv)[None], image_size=S, near=near, far=far, chunk=chunk,
+        flip_y=False, band_rows=band_rows, band_capacity=4096,
+        depth_mode="exact", return_depth=True)
+    np.testing.assert_allclose(np.asarray(dim[0]), np.asarray(dim_exact[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rasterizer_fused_tie_picks_lowest_id():
+    """Two faces whose 1/zp differ by less than the 18-bit quantization
+    step tie in the packed race; the CUDA rule (first/lowest face id wins)
+    must hold.  The nearer face gets the HIGHER id, so a min-id tie-break
+    is observable (the quantization step at 1/near=10 is ~4e-5; the faces
+    are offset by 1e-7 in 1/z)."""
+    S, near, far = 16, 0.1, 25.0
+    base = np.array([[[-0.9, -0.9, 2.0], [0.9, -0.9, 2.0], [0.0, 0.9, 2.0]]],
+                    np.float32)
+    nearer = base.copy()
+    nearer[..., 2] = 1.0 / (1.0 / 2.0 + 1e-7)  # 1/z offset ~1e-7 << 4e-5
+    fv = np.concatenate([base, nearer], axis=0)  # id 0 = farther (barely)
+    fim, _ = rasterize_fim_wim(
+        jnp.asarray(fv)[None], image_size=S, near=near, far=far, chunk=4,
+        flip_y=False, depth_mode="fused")
+    fim = np.asarray(fim[0])
+    assert (fim[fim >= 0] == 0).all()  # lowest id wins the tie
+    # exact mode resolves the same geometry to the truly nearer face
+    fim_exact, _ = rasterize_fim_wim(
+        jnp.asarray(fv)[None], image_size=S, near=near, far=far, chunk=4,
+        flip_y=False, depth_mode="exact")
+    fim_exact = np.asarray(fim_exact[0])
+    assert (fim_exact[fim_exact >= 0] == 1).all()
+
+
 def test_band_occupancy_predicts_exactness():
     from jafpro_tpu.geometry.rasterizer import band_occupancy
 
