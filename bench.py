@@ -58,7 +58,7 @@ def setup(T=30, R=4, S=256, p=200):
     engine = SMPLFlowEngine.create(
         faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
         band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")),
-        depth_mode=os.environ.get("BENCH_DEPTH_MODE", "affine"))
+        depth_mode=os.environ.get("BENCH_DEPTH_MODE", "fused"))
     cap_env = os.environ.get("BENCH_BAND_CAPACITY", "auto")
     cams_np = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (T, 1))
     if cap_env == "auto":

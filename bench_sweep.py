@@ -30,7 +30,7 @@ def main():
         rows = parts[3] if len(parts) > 3 else "16"
         flow = parts[4] if len(parts) > 4 else "scan"
         warp = parts[5] if len(parts) > 5 else "lut"
-        depth = parts[6] if len(parts) > 6 else "affine"
+        depth = parts[6] if len(parts) > 6 else "fused"
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode

@@ -74,17 +74,18 @@ class SMPLFlowEngine:
     # mesh.
     band_rows: int = 16
     band_capacity: int = 4096
-    # "affine" (default): per-face affine 1/zp (rasterizer.py) — identical
-    # to the CUDA clamp/renormalize/divide chain up to ~1e-6 rounding (the
-    # winner can differ only at z-fighting pixels), markedly less VPU work
-    # per pair; measured 49.4 -> 55.1 frames/s in-session (TUNING.md).
-    # "fused": affine 1/zp + precomputed affine edge functions + packed
-    # uint32 single-max depth race (rasterizer.py) — another ~30% fewer
-    # VPU ops per (pixel, face) pair; same rounding-level caveats plus an
-    # 18-bit depth quantization in the race (ties pick the lowest id, the
-    # CUDA rule; emitted weights/depth stay exact for the winner).
-    # "exact": the CUDA formula bit-for-bit — parity oracles pin this.
-    depth_mode: str = "affine"
+    # "fused" (default): affine 1/zp + precomputed affine edge functions +
+    # packed uint32 single-max depth race (rasterizer.py) — identical to
+    # the CUDA clamp/renormalize/divide chain up to ~1e-6 rounding plus an
+    # 18-bit depth quantization in the race (the winner can differ only at
+    # z-fighting pixels; ties pick the lowest id, the CUDA rule; emitted
+    # weights/depth stay exact for the winner).  Measured in-session
+    # 49.4 -> 55.1 (affine over exact) then 55.9 -> 63.7 frames/s (fused
+    # over affine) — TUNING.md.
+    # "affine": per-face affine 1/zp only (exact CUDA edge tests, no
+    # quantized race).  "exact": the CUDA formula bit-for-bit — parity
+    # oracles pin this.
+    depth_mode: str = "fused"
 
     @classmethod
     def create(

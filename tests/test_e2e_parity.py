@@ -232,7 +232,7 @@ def test_composed_generator_parity(ref):
     engine = SMPLFlowEngine.create(faces=faces, image_size=S, chunk=64,
                                    band_rows=0, depth_mode="exact")
     # depth_mode="exact" pins the CUDA depth formula bit-for-bit — this
-    # test is the composed-parity oracle; "affine" (production default) is
+    # test is the composed-parity oracle; "fused" (production default) is
     # equal up to z-fighting-pixel winner flips and is oracle-tested
     # separately in test_geometry.py.
     pipe = JAFProPipeline(cfg, flow_engine=engine)
