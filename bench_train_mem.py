@@ -1,16 +1,21 @@
-"""Training throughput: one full stage-4 step (batch 4, 256x256, 24x200x200
-texture parts, real SMPL topology) on the available device.
+"""Compile-only HBM analysis of the stage-4 training step (no execution).
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"} with
-iterations/sec (the reference's stage-4 configuration trains batch 4 on one
-GPU; BASELINE.md pins no published number).
+Lowers + compiles the full stage-4 step for the attached device at the
+requested batch size and prints XLA's memory analysis — peak temp /
+argument / output bytes — as one JSON line.  Used to close the batch-4
+single-chip gap (TUNING.md: 16.09G vs the 15.75G v5e budget at batch 4
+with the round-1 remat settings) without paying a full training run per
+config.
+
+Env knobs: BENCH_TRAIN_BATCH (default 4), JAFPRO_REMAT (default "1"),
+JAFPRO_REF_MAJOR (default "1": the per-ref unrolled AccumulateLSTM —
+see models/accumulate.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -28,6 +33,7 @@ def main():
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     cfg = Config(compute_dtype="bfloat16", maximum_ref_frames=4,
+                 remat_training=os.environ.get("JAFPRO_REMAT", "1") == "1",
                  accu_ref_major=os.environ.get(
                      "JAFPRO_REF_MAJOR", "1") == "1")
     path = default_smpl_faces_path()
@@ -50,23 +56,23 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
     step = jax.jit(make_stage4_step(pipe), donate_argnums=(0,))
-
-    state, metrics = step(state, batch)
-    _ = np.asarray(metrics["loss"])  # compile + warm (full host fetch)
-
-    n = int(os.environ.get("BENCH_ITERS", "6"))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, batch)
-    _ = np.asarray(metrics["loss"])  # step chain is sequential by state
-    dt = (time.perf_counter() - t0) / n
-
-    print(json.dumps({
-        "metric": f"stage4_train_iters_per_sec_batch{B}_256px",
-        "value": round(1.0 / dt, 4),
-        "unit": "iters/s",
-        "vs_baseline": 1.0,
-    }))
+    compiled = step.lower(state, batch).compile()
+    m = compiled.memory_analysis()
+    out = {"batch": B, "remat": cfg.remat_training,
+           "ref_major": cfg.accu_ref_major}
+    if m is not None:
+        for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes"):
+            v = getattr(m, k, None)
+            if v is not None:
+                out[k] = int(v)
+        tot = (out.get("temp_size_in_bytes", 0)
+               + out.get("argument_size_in_bytes", 0)
+               + out.get("output_size_in_bytes", 0)
+               - out.get("alias_size_in_bytes", 0))
+        out["peak_gib"] = round(tot / 2**30, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

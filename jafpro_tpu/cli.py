@@ -184,6 +184,10 @@ def cmd_train(args) -> None:
         cfg.maximum_ref_frames = 2
     if args.batch_size:
         cfg.batch_size = args.batch_size
+    # per-ref unrolled AccumulateLSTM + per-step remat: same numerics and
+    # per-sample speed, ~1.4G lower peak HBM — lets the reference's batch-4
+    # stage-4 config train on ONE chip (TUNING.md; models/accumulate.py)
+    cfg.accu_ref_major = True
     if args.debug:
         cfg.model_save_interval = 3
         cfg.vis_interval = 3

@@ -80,6 +80,12 @@ class Config:
     # rematerialize the texture-network forward in training backward passes
     # (trades ~30% recompute for the 24-part activation memory)
     remat_training: bool = True
+    # AccumulateLSTM ref-axis order: False = encode all refs in one batched
+    # conv stack (fastest at inference); True = unrolled per-ref loop that
+    # interleaves encoder and ConvLSTM steps so only one reference's
+    # encoder activations are live (the batch-4 training-memory form).
+    # Identical numerics and param tree (models/accumulate.py).
+    accu_ref_major: bool = False
 
     isTrain: bool = True
 

@@ -31,9 +31,31 @@ class AccumulateLSTM(nn.Module):
     ``jafpro_tpu.losses.masked_atlas_l1``, decoupled from the module).
     ``conv_impl``: PartConv lowering ("dense" for training / "groups" for
     batch-1 inference — see ``models/parts.py``; params identical).
+
+    ``ref_major=False`` (default, fastest at inference): encode ALL N
+    reference atlases in one batched conv stack, then scan each skip
+    level's ConvLSTM over the ref axis — every level's full (B, N, h, w,
+    c) skip sequence is live at once.  ``ref_major=True`` (training /
+    low-memory): unroll a Python loop over the static ref axis, encoding
+    ONE reference per step and feeding all five ConvLSTM levels in
+    lockstep — only one reference's encoder activations are ever live,
+    which is what fits the batch-4 GAN step in a single chip's HBM
+    (TUNING.md).  Numerically identical (same op order per (ref, level));
+    the param tree is byte-identical so checkpoints/converters are mode-
+    agnostic (``test_models.py::test_accumulate_ref_major_equivalence``).
+
+    ``remat_steps`` (ref-major only): additionally rematerialize the
+    per-ref encoder call and each ConvLSTM cell step in the backward pass
+    (nested inside the trainer's outer ``jax.checkpoint``).  Without it
+    the unrolled backward still stores every ref's encoder/gate
+    activations — measured 17.5G at batch 4 vs 16.2G level-major; with
+    it only one ref's activations plus the small per-ref carry states
+    are live (TUNING.md).
     """
 
     conv_impl: str = "dense"
+    ref_major: bool = False
+    remat_steps: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -42,19 +64,42 @@ class AccumulateLSTM(nn.Module):
         if ref_mask is None:
             ref_mask = jnp.ones((B, N), parts.dtype)
 
-        # (B*N, H, W, P*C) packed part-major
-        x = pack_parts(parts.reshape(B * N, P, H, W, C))
-        skips = PartEncoder(parts=P, impl=self.conv_impl, dtype=self.dtype)(x)
-
-        fused = []
-        for level, s in enumerate(skips):
-            hs, ws = s.shape[1:3]
-            seq = s.reshape(B, N, hs, ws, s.shape[-1])
-            h_last = GroupedConvLSTM(
+        remat = self.ref_major and self.remat_steps
+        enc_cls = nn.remat(PartEncoder) if remat else PartEncoder
+        encoder = enc_cls(parts=P, impl=self.conv_impl, dtype=self.dtype,
+                          name="PartEncoder_0")
+        lstms = [
+            GroupedConvLSTM(
                 parts=P, hidden_dim=ENC_NC[2 * level], impl=self.conv_impl,
-                dtype=self.dtype,
-                name=f"lstm{level}")(seq, ref_mask)
-            fused.append(h_last)
+                remat_step=remat,
+                dtype=self.dtype, name=f"lstm{level}")
+            for level in range(5)
+        ]
+
+        if self.ref_major:
+            states = None
+            for n in range(N):
+                xn = pack_parts(parts[:, n])  # (B, H, W, P*C)
+                skips = encoder(xn)
+                if states is None:
+                    states = [
+                        lstms[l].init_state(B, *s.shape[1:3], s.dtype)
+                        for l, s in enumerate(skips)
+                    ]
+                states = [
+                    lstms[l](s, ref_mask[:, n], initial_state=states[l])
+                    for l, s in enumerate(skips)
+                ]
+            fused = [h for h, _ in states]
+        else:
+            # (B*N, H, W, P*C) packed part-major
+            x = pack_parts(parts.reshape(B * N, P, H, W, C))
+            skips = encoder(x)
+            fused = []
+            for level, s in enumerate(skips):
+                hs, ws = s.shape[1:3]
+                seq = s.reshape(B, N, hs, ws, s.shape[-1])
+                fused.append(lstms[level](seq, ref_mask))
 
         out = PartDecoder(parts=P, impl=self.conv_impl,
                           dtype=self.dtype)(tuple(fused))

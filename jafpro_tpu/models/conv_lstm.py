@@ -163,68 +163,98 @@ class ConvGRU(nn.Module):
         return ys, h
 
 
+class _Cell(nn.Module):
+    """One grouped-ConvLSTM step over packed part-major channels.
+
+    Gates are computed as separate grouped convolutions per gate and per
+    [x | h] operand: ``conv([x, h]) -> 4 gates`` == ``conv_x_g(x) +
+    conv_h_g(h)`` per gate — an exact reparameterization of the reference
+    cell (``src/convLSTM.py:41-56``) that avoids per-part channel concats
+    and gate-split reshapes (5/6-D temps whose narrow trailing dims the
+    TPU pads to 128 lanes).
+
+    Module-level so both ``GroupedConvLSTM`` call forms (scanned sequence
+    and single step) share it; the class name is load-bearing — ``nn.scan``
+    derives the child scope ``Scan_Cell_0`` from it, which is the param
+    path every checkpoint/converter uses.
+    """
+
+    parts: int
+    hidden: int
+    kernel: int
+    impl: str
+    dtype: Optional[jnp.dtype]
+
+    @nn.compact
+    def __call__(self, state, inputs):
+        h_prev, c_prev = state
+        x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
+
+        from jafpro_tpu.models.parts import PartConv
+
+        def gate(name, act):
+            gx = PartConv(self.parts, self.hidden,
+                          kernel=self.kernel, impl=self.impl,
+                          dtype=self.dtype,
+                          name=f"{name}_x")(x)
+            gh = PartConv(self.parts, self.hidden,
+                          kernel=self.kernel, use_bias=False,
+                          impl=self.impl,
+                          dtype=self.dtype, name=f"{name}_h")(h_prev)
+            return act(gx + gh)
+
+        i = gate("i", nn.sigmoid)
+        f = gate("f", nn.sigmoid)
+        o = gate("o", nn.sigmoid)
+        g = gate("g", nn.tanh)
+        c = f * c_prev + i * g
+        h = o * nn.tanh(c)
+        if m is not None:
+            mm = m[:, None, None, None].astype(h.dtype)
+            h = h_prev * (1 - mm) + h * mm
+            c = c_prev * (1 - mm) + c * mm
+        return (h, c), None
+
+
 class GroupedConvLSTM(nn.Module):
     """P independent single-layer ConvLSTMs over packed part-major channels.
 
-    xs: (B, T, H, W, P*C); mask (B, T).  Gates are computed as separate
-    grouped convolutions per gate and per [x | h] operand:
-    ``conv([x, h]) -> 4 gates`` == ``conv_x_g(x) + conv_h_g(h)`` per gate —
-    an exact reparameterization of the reference cell
-    (``src/convLSTM.py:41-56``) that avoids per-part channel concats and
-    gate-split reshapes (5/6-D temps whose narrow trailing dims the TPU
-    pads to 128 lanes).  Returns the final hidden state (B, H, W, P*hidden).
+    Sequence form: xs (B, T, H, W, P*C), mask (B, T) -> final hidden state
+    (B, H, W, P*hidden), scanned over T.
+
+    Single-step form (``initial_state`` given): xs is ONE step
+    (B, H, W, P*C), mask (B,) or None -> the updated ``(h, c)`` state.
+    Lets a caller interleave the producer of each step's input with the
+    recurrence instead of materializing the whole (B, T, ...) sequence —
+    the ref-major low-memory path of ``AccumulateLSTM``.  Both forms bind
+    the identical param tree (child scope ``Scan_Cell_0``).
+
+    ``remat_step``: rematerialize each single-step cell in the backward
+    pass (``nn.remat`` — param-scope-transparent), so an unrolled caller's
+    backward holds only one step's gate activations at a time.
     """
 
     parts: int
     hidden_dim: int  # per part
     kernel: int = 3
     impl: str = "dense"
+    remat_step: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xs, mask: Optional[jnp.ndarray] = None):
-        B, T, H, W, _ = xs.shape
+    def __call__(self, xs, mask: Optional[jnp.ndarray] = None,
+                 initial_state=None):
         P, D = self.parts, self.hidden_dim
+        if initial_state is not None:
+            # single step: same cell params, no scan lifting
+            cell_cls = nn.remat(_Cell) if self.remat_step else _Cell
+            cell = cell_cls(P, D, self.kernel, self.impl, self.dtype,
+                            name="Scan_Cell_0")
+            inputs = (xs, mask) if mask is not None else xs
+            state, _ = cell(initial_state, inputs)
+            return state
 
-        class _Cell(nn.Module):
-            parts: int
-            hidden: int
-            kernel: int
-            impl: str
-            dtype: Optional[jnp.dtype]
-
-            @nn.compact
-            def __call__(self, state, inputs):
-                h_prev, c_prev = state
-                x, m = inputs if isinstance(inputs, tuple) else (inputs, None)
-                k = (self.kernel, self.kernel)
-                pad = [(self.kernel // 2, self.kernel // 2)] * 2
-
-                from jafpro_tpu.models.parts import PartConv
-
-                def gate(name, act):
-                    gx = PartConv(self.parts, self.hidden,
-                                  kernel=self.kernel, impl=self.impl,
-                                  dtype=self.dtype,
-                                  name=f"{name}_x")(x)
-                    gh = PartConv(self.parts, self.hidden,
-                                  kernel=self.kernel, use_bias=False,
-                                  impl=self.impl,
-                                  dtype=self.dtype, name=f"{name}_h")(h_prev)
-                    return act(gx + gh)
-
-                i = gate("i", nn.sigmoid)
-                f = gate("f", nn.sigmoid)
-                o = gate("o", nn.sigmoid)
-                g = gate("g", nn.tanh)
-                c = f * c_prev + i * g
-                h = o * nn.tanh(c)
-                if m is not None:
-                    mm = m[:, None, None, None].astype(h.dtype)
-                    h = h_prev * (1 - mm) + h * mm
-                    c = c_prev * (1 - mm) + c * mm
-                return (h, c), None
-
+        B, T, H, W, _ = xs.shape
         scan = nn.scan(
             _Cell,
             variable_broadcast="params",
@@ -240,3 +270,8 @@ class GroupedConvLSTM(nn.Module):
         inputs = (xs, mask) if mask is not None else xs
         (h, c), _ = cell(init, inputs)
         return h
+
+    def init_state(self, batch: int, height: int, width: int, dtype):
+        D = self.parts * self.hidden_dim
+        z = jnp.zeros((batch, height, width, D), dtype)
+        return (z, z)

@@ -52,7 +52,10 @@ class JAFProPipeline:
     def __post_init__(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         impl = self.cfg.part_conv_impl
-        self.accu = AccumulateLSTM(conv_impl=impl, dtype=dtype)
+        self.accu = AccumulateLSTM(
+            conv_impl=impl, dtype=dtype,
+            ref_major=self.cfg.accu_ref_major,
+            remat_steps=self.cfg.accu_ref_major and self.cfg.remat_training)
         self.inpaint = UNetInpainter(conv_impl=impl, dtype=dtype)
         self.bg = CRNSmaller(fg=False, dtype=dtype)
         self.refine = CRNSmaller(fg=True, dtype=dtype)

@@ -1,5 +1,6 @@
 """Shape-contract and behavior tests for the Flax modules."""
 
+import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -249,3 +250,34 @@ def test_accumulate_impls_equivalent():
     np.testing.assert_allclose(
         np.asarray(dense.apply(params, parts, mask)),
         np.asarray(groups.apply(params, parts, mask)), atol=2e-5)
+
+
+def test_accumulate_ref_major_equivalence():
+    """ref_major=True (per-ref unrolled encoder+LSTM lockstep — the
+    training-memory form) must bind the identical param tree and produce
+    the level-major result, including masked-out refs."""
+    from jafpro_tpu.models.accumulate import AccumulateLSTM
+
+    parts = jax.random.normal(KEY, (2, 3, 4, 16, 16, 3))
+    mask = jnp.asarray([[1.0, 0.0, 1.0], [1.0, 1.0, 0.0]])
+    level = AccumulateLSTM()
+    refm = AccumulateLSTM(ref_major=True)
+    params = level.init(KEY, parts, mask)
+    params_rm = refm.init(KEY, parts, mask)
+    chex.assert_trees_all_equal_shapes(params, params_rm)
+    want = np.asarray(level.apply(params, parts, mask))
+    np.testing.assert_allclose(
+        np.asarray(refm.apply(params, parts, mask)), want, atol=2e-5)
+
+    # with per-step rematerialization (the training form): same value AND
+    # matching gradients w.r.t. the shared params
+    rm2 = AccumulateLSTM(ref_major=True, remat_steps=True)
+    np.testing.assert_allclose(
+        np.asarray(rm2.apply(params, parts, mask)), want, atol=2e-5)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, parts, mask) ** 2)
+
+    g_level = jax.grad(loss(level))(params)
+    g_rm2 = jax.grad(loss(rm2))(params)
+    chex.assert_trees_all_close(g_level, g_rm2, atol=2e-4)
