@@ -10,7 +10,7 @@ Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[:DEPTH_MODE]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
-  DEPTH_MODE to affine).
+  DEPTH_MODE to fused).
 """
 
 import json

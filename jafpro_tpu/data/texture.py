@@ -151,13 +151,23 @@ def build_texture_warp_lut(parts: jnp.ndarray, grid: int = 256) -> jnp.ndarray:
     return y.astype(parts.dtype)
 
 
-def texture_warp_lut(lut: jnp.ndarray, iuv255: jnp.ndarray) -> jnp.ndarray:
+def texture_warp_lut(lut: jnp.ndarray, iuv255: jnp.ndarray,
+                     impl: str = "tap") -> jnp.ndarray:
     """Single-tap texture warp through a :func:`build_texture_warp_lut` table.
 
     Exact (to interpolation-order rounding) for integer-valued IUV, which is
     always the case for uint8 DensePose data; non-integer coordinates are
     rounded to the nearest lattice point.  Differentiable w.r.t. the texture
     through the LUT build's matmuls + this gather.
+
+    ``impl``:
+      * ``"tap"``: one (part, u, v) point gather per pixel.  Minimal
+        logical traffic, but XLA-TPU lowers 3-element random gathers far
+        off the HBM speed of light.
+      * ``"rows"``: gather the whole contiguous (G*C)-element row at
+        (part, u) — the lane-aligned gather shape the TPU vectorizes —
+        then select v with a one-hot multiply-reduce that XLA fuses into
+        the gather consumer.  Identical values.
 
     Args:
       lut: (B, P, G, G, C); iuv255: (B, S, S, 3).
@@ -168,9 +178,19 @@ def texture_warp_lut(lut: jnp.ndarray, iuv255: jnp.ndarray) -> jnp.ndarray:
     part = jnp.clip(pid.astype(jnp.int32) - 1, 0, P - 1)
     u = jnp.clip(jnp.floor(iuv255[..., 1] + 0.5).astype(jnp.int32), 0, G - 1)
     v = jnp.clip(jnp.floor(iuv255[..., 2] + 0.5).astype(jnp.int32), 0, G - 1)
-    flat = lut.reshape(B, P * G * G, C)
-    idx = (part * G + u) * G + v
-    out = jnp.take_along_axis(flat, idx.reshape(B, -1)[..., None], axis=1)
+    if impl == "rows":
+        import jax
+
+        rows = lut.reshape(B, P * G, G * C)
+        ridx = (part * G + u).reshape(B, -1)                     # (B, N)
+        r = jnp.take_along_axis(rows, ridx[..., None], axis=1)   # (B, N, G*C)
+        sel = jax.nn.one_hot(v.reshape(B, -1), G, dtype=lut.dtype)
+        out = jnp.einsum("bngc,bng->bnc",
+                         r.reshape(B, -1, G, C), sel)
+    else:
+        flat = lut.reshape(B, P * G * G, C)
+        idx = (part * G + u) * G + v
+        out = jnp.take_along_axis(flat, idx.reshape(B, -1)[..., None], axis=1)
     out = out.reshape(pid.shape + (C,))
     return jnp.where((pid > 0)[..., None], out, 0.0)
 

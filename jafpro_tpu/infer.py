@@ -62,7 +62,10 @@ class VideoGenerator:
     # atlas gather ("gather"), which bench_breakdown measured at ~5.5
     # ms/frame HBM-bound.  Exact for integer-valued (uint8-decoded) IUV,
     # i.e. all real DensePose data; "gather" keeps the bilinear form for
-    # arbitrary float coordinates.
+    # arbitrary float coordinates.  "lut2": same table, but the per-frame
+    # lookup gathers the contiguous (part, u) row and selects v with a
+    # fused one-hot reduce (texture_warp_lut impl="rows") — the
+    # lane-aligned gather shape the TPU vectorizes.
     warp_mode: str = "lut"
     # Timing diagnostics ONLY (bench_breakdown.py): component names to
     # replace with cheap shape-preserving stand-ins so whole-program A/B
@@ -130,7 +133,7 @@ class VideoGenerator:
         # the relayout inside the scan measured ~30% of frame time —
         # bench_breakdown, TUNING.md round 2): either the (4p, 6p, 3) atlas
         # for the 4-tap gather, or the integer-UV LUT for the 1-tap form
-        if self.warp_mode == "lut":
+        if self.warp_mode in ("lut", "lut2"):
             warp_src = build_texture_warp_lut(inpainted)
         else:
             warp_src = parts_to_atlas(inpainted)
@@ -159,6 +162,8 @@ class VideoGenerator:
 
             if "warp" in self.ablate:
                 warped = iuv  # shape-matched, data-dependent stand-in
+            elif self.warp_mode == "lut2":
+                warped = texture_warp_lut(warp_src_b, iuv255, impl="rows")
             elif self.warp_mode == "lut":
                 warped = texture_warp_lut(warp_src_b, iuv255)
             else:

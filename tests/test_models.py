@@ -184,6 +184,9 @@ def test_texture_warp_lut_matches_gather():
     ref = np.asarray(texture_warp(jnp.asarray(parts), jnp.asarray(iuv)))
     # separable (two-matmul) interpolation vs fused 4-tap: rounding-order ulps
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # the row-gather + one-hot-select lowering must match the point gather
+    rows = np.asarray(texture_warp_lut(lut, jnp.asarray(iuv), impl="rows"))
+    np.testing.assert_allclose(rows, ours, atol=1e-5)
     assert (ours[iuv[..., 0] == 0] == 0).all()
 
 
