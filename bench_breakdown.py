@@ -19,7 +19,8 @@ import time
 
 import numpy as np
 
-COMPONENTS = ("none", "prep", "warp", "refine", "raster", "flow", "pro")
+COMPONENTS = ("none", "prep", "warp", "refine", "raster", "flow", "pro",
+              "accu", "bg", "lutbuild", "srcraster")
 
 
 def time_variant(pipe, params, clip, T, ablate):

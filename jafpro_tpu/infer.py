@@ -71,7 +71,9 @@ class VideoGenerator:
     # replace with cheap shape-preserving stand-ins so whole-program A/B
     # deltas attribute frame time per component.  The stand-ins stay
     # data-dependent (never constants) so XLA cannot fold the downstream
-    # graph away.  Recognized: "prep" (accumulate+inpaint+bg), "warp"
+    # graph away.  Recognized: "prep" (accumulate+inpaint+bg; "accu" and
+    # "bg" split it), "lutbuild" (the per-clip warp-table matmuls),
+    # "srcraster" (the hoisted per-clip source z-buffer), "warp"
     # (24-part texture warp), "refine" (refine CRN), "raster" (per-frame
     # z-buffer), "flow" (raster + bc-transform + image warp), "pro"
     # (propagation net).  Output is NOT the real pipeline under ablation.
@@ -95,13 +97,15 @@ class VideoGenerator:
     def _generate(self, params: Dict[str, Any], clip: Dict[str, jnp.ndarray]):
         pipe = self.pipe
         engine = pipe.flow_engine
-        if "prep" in self.ablate:
+        if "prep" in self.ablate or "accu" in self.ablate:
             inpainted = clip["src_parts"][:, 0]
-            bg_out = clip["bg_incomplete"]
         else:
             inpainted, _ = pipe.prepare_textures(
                 params, clip["src_parts"], clip["ref_mask"],
                 clip["src_mask_parts"])
+        if "prep" in self.ablate or "bg" in self.ablate:
+            bg_out = clip["bg_incomplete"]
+        else:
             bg_out = pipe.background(params, clip["bg_incomplete"])
 
         chosen = clip["chosen_frames"]          # (R,) int32 clip indices
@@ -115,8 +119,13 @@ class VideoGenerator:
         # the source every frame, conv_pro_test.py:274) — halves the
         # z-buffer work of the whole clip.
         pro_index = jnp.clip(chosen, 0, cams.shape[0] - 1)  # (R,)
-        src_f2verts, _, _ = engine.render_fim_wim(
-            cams[pro_index], verts[pro_index])
+        if "srcraster" in self.ablate:
+            # face-vertex gather without the projection/z-buffer pass
+            faces = jnp.asarray(engine.faces)
+            src_f2verts = verts[pro_index][:, faces]  # (R, F, 3, 3)
+        else:
+            src_f2verts, _, _ = engine.render_fim_wim(
+                cams[pro_index], verts[pro_index])
         src_f2pts_all = src_f2verts[..., 0:2]
         src_f2pts_all = src_f2pts_all.at[..., 1].multiply(-1.0)  # (R,F,3,2)
 
@@ -134,7 +143,15 @@ class VideoGenerator:
         # bench_breakdown, TUNING.md round 2): either the (4p, 6p, 3) atlas
         # for the 4-tap gather, or the integer-UV LUT for the 1-tap form
         if self.warp_mode in ("lut", "lut2"):
-            warp_src = build_texture_warp_lut(inpainted)
+            if "lutbuild" in self.ablate:
+                # shape-matched stand-in: pad the 200-px tiles to the
+                # 256-px lattice instead of the two interpolation matmuls
+                p = inpainted.shape[2]
+                warp_src = jnp.pad(
+                    inpainted, ((0, 0), (0, 0), (0, 256 - p),
+                                (0, 256 - p), (0, 0)))
+            else:
+                warp_src = build_texture_warp_lut(inpainted)
         else:
             warp_src = parts_to_atlas(inpainted)
         warp_src_b = jnp.broadcast_to(warp_src, (fb,) + warp_src.shape[1:])
