@@ -7,10 +7,11 @@ and prints one labeled JSON line per config.
 
 Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   (each arg is
-  BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[:DEPTH_MODE]]]];
+  BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[
+  :DEPTH_MODE[:PART_CONV]]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
-  DEPTH_MODE to fused).
+  DEPTH_MODE to fused, PART_CONV to dense).
 """
 
 import json
@@ -31,6 +32,7 @@ def main():
         flow = parts[4] if len(parts) > 4 else "scan"
         warp = parts[5] if len(parts) > 5 else "lut"
         depth = parts[6] if len(parts) > 6 else "fused"
+        pconv = parts[7] if len(parts) > 7 else "dense"
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode
@@ -38,8 +40,10 @@ def main():
         os.environ["BENCH_FLOW_MODE"] = flow
         os.environ["BENCH_WARP_MODE"] = warp
         os.environ["BENCH_DEPTH_MODE"] = depth
+        os.environ["BENCH_PART_CONV"] = pconv
         print(f"=== config cap={cap} fb={fb} raster={mode} rows={rows} "
-              f"flow={flow} warp={warp} depth={depth} ===", file=sys.stderr)
+              f"flow={flow} warp={warp} depth={depth} pconv={pconv} ===",
+              file=sys.stderr)
         t0 = time.time()
         bench.main()
         print(f"=== config {spec} done in {time.time() - t0:.0f}s ===",

@@ -136,13 +136,24 @@ class SMPLFlowEngine:
             return True
         return False
 
+    def project_faces(self, cam: jnp.ndarray, vertices: jnp.ndarray):
+        """View-space face vertices only: (B,3),(B,V,3) -> (B,F,3,3).
+
+        The flow source pose needs just these — the reference's
+        ``cal_flow`` (``src/cal_flow.py:29-31``) rasterizes the source and
+        then discards ``src_fim``/``src_wim``, using only the projected
+        ``src_f2verts``; the z-buffer pass for the source is pure waste
+        (XLA does not DCE it through the banded scan — measured ~3 ms/frame
+        amortized in bench_breakdown's srcraster ablation)."""
+        view_verts = project_to_view(vertices, cam, self.viewing_angle)
+        return vertices_to_faces(view_verts, jnp.asarray(self.faces))
+
     def render_fim_wim(self, cam: jnp.ndarray, vertices: jnp.ndarray):
         """cam: (B, 3), vertices: (B, V, 3) ->
         (f2verts (B,F,3,3) view-space, fim (B,S,S), wim (B,S,S,3)).
         Reference ``nmr.py:263-278``.
         """
-        view_verts = project_to_view(vertices, cam, self.viewing_angle)
-        fv = vertices_to_faces(view_verts, jnp.asarray(self.faces))
+        fv = self.project_faces(cam, vertices)
         if self._use_pallas():
             from jafpro_tpu.geometry.rasterizer_pallas import (
                 rasterize_fim_wim_pallas)
@@ -174,7 +185,7 @@ class SMPLFlowEngine:
         projected x and un-flip y (the render path flipped it), i.e. the
         grid is in grid_sample's normalized coords of the source image.
         """
-        src_f2verts, _, _ = self.render_fim_wim(src_cam, src_vertices)
+        src_f2verts = self.project_faces(src_cam, src_vertices)
         src_f2pts = src_f2verts[..., 0:2]
         src_f2pts = src_f2pts.at[..., 1].multiply(-1.0)
         _, tsf_fim, tsf_wim = self.render_fim_wim(tgt_cam, tgt_vertices)

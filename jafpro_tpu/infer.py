@@ -114,17 +114,18 @@ class VideoGenerator:
         verts = clip["verts"]                   # (T, V, 3)
         S = pipe.cfg.image_size
 
-        # The R source poses are frame-invariant: rasterize them once per
-        # clip instead of inside the 30-frame scan (the reference re-renders
-        # the source every frame, conv_pro_test.py:274) — halves the
-        # z-buffer work of the whole clip.
+        # The R source poses are frame-invariant AND need no z-buffer: the
+        # flow uses only the projected face vertices (the reference renders
+        # src fim/wim every frame and discards them, conv_pro_test.py:274 /
+        # cal_flow.py:29-31).  Projection-only replaces the round-1 batched
+        # source rasterization (~3 ms/frame amortized, bench_breakdown).
         pro_index = jnp.clip(chosen, 0, cams.shape[0] - 1)  # (R,)
         if "srcraster" in self.ablate:
-            # face-vertex gather without the projection/z-buffer pass
+            # face-vertex gather without even the projection pass
             faces = jnp.asarray(engine.faces)
             src_f2verts = verts[pro_index][:, faces]  # (R, F, 3, 3)
         else:
-            src_f2verts, _, _ = engine.render_fim_wim(
+            src_f2verts = engine.project_faces(
                 cams[pro_index], verts[pro_index])
         src_f2pts_all = src_f2verts[..., 0:2]
         src_f2pts_all = src_f2pts_all.at[..., 1].multiply(-1.0)  # (R,F,3,2)

@@ -60,7 +60,7 @@ class PartConv(nn.Module):
     exist — parts are exactly independent, like the reference's 24
     separate networks.
 
-    Lowering is selectable (identical parameters and numerics either way):
+    Lowering is selectable (identical parameters and numerics every way):
       * ``impl="dense"`` (default): the block-diagonal dense conv described
         above — larger matmul, but flat activations; the right choice for
         TRAINING, where the grouped form's lane padding blew activation
@@ -69,6 +69,11 @@ class PartConv(nn.Module):
         MACs on paper, but the lane-padded small groups run SLOWER end to
         end on v5e (28.5 vs 43.1 frames/s measured); kept as a selectable
         lowering for other shapes/hardware.
+      * ``impl="blocksQ"`` (e.g. ``"blocks8"``): the middle ground — Q
+        parts per block-diagonal block, ``feature_group_count=P/Q``.  MAC
+        waste drops from P x (dense) to Q x while per-group channels stay
+        lane-sized (Q*cin >= ~128), avoiding the grouped form's padding.
+        Q must divide P.
     """
 
     parts: int
@@ -102,6 +107,30 @@ class PartConv(nn.Module):
                 padding=[(k // 2, k // 2)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=P)
+        elif self.impl.startswith("blocks"):
+            # Q-part block-diagonal blocks as G = P/Q conv groups: group g
+            # holds parts gQ..(g+1)Q-1, part-major inside the group, so
+            # input/output channel layouts match the dense form exactly
+            Q = int(self.impl[len("blocks"):])
+            if P % Q:
+                raise ValueError(
+                    f"impl={self.impl!r}: Q={Q} must divide parts={P}")
+            G = P // Q
+            wq = w.reshape(G, Q, k, k, cin, cout)
+            blk = jnp.zeros((G, Q, k, k, cin, Q, cout), w.dtype)
+            idx = jnp.arange(Q)
+            # advanced indexing puts the shared Q axis first -> (Q, G, ...)
+            blk = blk.at[:, idx, :, :, :, idx, :].set(
+                jnp.swapaxes(wq, 0, 1))
+            kern = jnp.transpose(blk, (2, 3, 1, 4, 0, 5, 6)).reshape(
+                k, k, Q * cin, P * cout)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype or x.dtype),
+                kern.astype(self.dtype or x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=G)
         else:
             idx = jnp.arange(P)
             dense = jnp.zeros((P, k, k, cin, P, cout), w.dtype)

@@ -235,11 +235,12 @@ def test_part_conv_impls_equivalent():
 
     x = jax.random.normal(KEY, (2, 8, 8, 4 * 5))
     dense = PartConv(parts=4, features=6, impl="dense")
-    groups = PartConv(parts=4, features=6, impl="groups")
     params = dense.init(KEY, x)
-    np.testing.assert_allclose(
-        np.asarray(dense.apply(params, x)),
-        np.asarray(groups.apply(params, x)), atol=1e-5)
+    ref = np.asarray(dense.apply(params, x))
+    for impl in ("groups", "blocks1", "blocks2", "blocks4"):
+        other = PartConv(parts=4, features=6, impl=impl)
+        np.testing.assert_allclose(
+            ref, np.asarray(other.apply(params, x)), atol=1e-5)
 
 
 def test_accumulate_impls_equivalent():
@@ -248,11 +249,12 @@ def test_accumulate_impls_equivalent():
     parts = jax.random.normal(KEY, (1, 2, 3, 16, 16, 3))
     mask = jnp.ones((1, 2))
     dense = AccumulateLSTM(conv_impl="dense")
-    groups = AccumulateLSTM(conv_impl="groups")
     params = dense.init(KEY, parts, mask)
-    np.testing.assert_allclose(
-        np.asarray(dense.apply(params, parts, mask)),
-        np.asarray(groups.apply(params, parts, mask)), atol=2e-5)
+    ref = np.asarray(dense.apply(params, parts, mask))
+    for impl in ("groups", "blocks3"):
+        other = AccumulateLSTM(conv_impl=impl)
+        np.testing.assert_allclose(
+            ref, np.asarray(other.apply(params, parts, mask)), atol=2e-5)
 
 
 def test_accumulate_ref_major_equivalence():
