@@ -34,7 +34,7 @@ def setup(T=30, R=4, S=256, p=200):
 
     cfg = Config(image_size=S, part_size=p, maximum_ref_frames=R,
                  compute_dtype="bfloat16",
-                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "dense"))
+                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "blocks8"))
     path = default_smpl_faces_path()
     if path is not None:
         faces = np.load(path).astype(np.int32)

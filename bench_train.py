@@ -28,6 +28,7 @@ def main():
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     cfg = Config(compute_dtype="bfloat16", maximum_ref_frames=4,
+                 part_conv_impl=os.environ.get("BENCH_PART_CONV", "blocks8"),
                  accu_ref_major=os.environ.get(
                      "JAFPRO_REF_MAJOR", "1") == "1")
     path = default_smpl_faces_path()

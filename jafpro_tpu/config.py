@@ -68,10 +68,12 @@ class Config:
 
     # ---- TPU-native settings ----
     compute_dtype: str = "bfloat16"   # conv/matmul activations dtype
-    # PartConv lowering for the texture nets: "dense" (block-diagonal; the
-    # training-memory-safe form) or "groups" (XLA grouped conv; fastest for
-    # batch-1 inference).  Identical params/numerics (models/parts.py).
-    part_conv_impl: str = "dense"
+    # PartConv lowering for the texture nets: "blocks8" (8-part
+    # block-diagonal groups — fastest measured for BOTH batch-1 inference
+    # and batch-4 training), "dense" (single block-diagonal conv), or
+    # "groups" (feature_group_count=P).  Identical params/numerics
+    # every way (models/parts.py; TUNING.md for the measurements).
+    part_conv_impl: str = "blocks8"
     param_dtype: str = "float32"
     rasterizer_backend: str = "auto"  # "auto" | "xla" | "pallas"
     rasterizer_face_chunk: int = 2048

@@ -61,19 +61,22 @@ class PartConv(nn.Module):
     separate networks.
 
     Lowering is selectable (identical parameters and numerics every way):
-      * ``impl="dense"`` (default): the block-diagonal dense conv described
-        above — larger matmul, but flat activations; the right choice for
-        TRAINING, where the grouped form's lane padding blew activation
-        memory 10.7x (TUNING.md).
+      * ``impl="blocksQ"`` (e.g. ``"blocks8"``, the production default via
+        Config): Q parts per block-diagonal block,
+        ``feature_group_count=P/Q``.  MAC waste drops from P x (dense) to
+        Q x while per-group channels stay lane-sized (Q*cin >= ~128),
+        avoiding the grouped form's padding.  blocks8 measured fastest for
+        BOTH batch-1 inference (65.8 vs 58.2 frames/s dense, same session)
+        and batch-4 stage-4 training (0.681 vs 0.425 iters/s); blocks4 and
+        blocks12 are slower on both (TUNING.md).  Non-divisible Q falls
+        back to the single-block dense form.
+      * ``impl="dense"``: one block-diagonal dense conv — largest matmul,
+        flat activations; the round-1 training-memory-safe form.
       * ``impl="groups"``: XLA ``feature_group_count=P`` — ~P x fewer
-        MACs on paper, but the lane-padded small groups run SLOWER end to
-        end on v5e (28.5 vs 43.1 frames/s measured); kept as a selectable
-        lowering for other shapes/hardware.
-      * ``impl="blocksQ"`` (e.g. ``"blocks8"``): the middle ground — Q
-        parts per block-diagonal block, ``feature_group_count=P/Q``.  MAC
-        waste drops from P x (dense) to Q x while per-group channels stay
-        lane-sized (Q*cin >= ~128), avoiding the grouped form's padding.
-        Q must divide P.
+        MACs on paper, but TPU pads each 12-96-channel group to 128 lanes:
+        10.7x activation memory and SLOWER end to end on v5e (28.5 vs 43.1
+        frames/s measured); kept as a selectable lowering for other
+        shapes/hardware (and for the tiny-shape CPU multichip dryrun).
     """
 
     parts: int
@@ -113,8 +116,9 @@ class PartConv(nn.Module):
             # input/output channel layouts match the dense form exactly
             Q = int(self.impl[len("blocks"):])
             if P % Q:
-                raise ValueError(
-                    f"impl={self.impl!r}: Q={Q} must divide parts={P}")
+                # non-divisible part counts (small synthetic tests) take the
+                # dense single-block form; numerics are impl-invariant
+                Q = P
             G = P // Q
             wq = w.reshape(G, Q, k, k, cin, cout)
             blk = jnp.zeros((G, Q, k, k, cin, Q, cout), w.dtype)

@@ -237,7 +237,8 @@ def test_part_conv_impls_equivalent():
     dense = PartConv(parts=4, features=6, impl="dense")
     params = dense.init(KEY, x)
     ref = np.asarray(dense.apply(params, x))
-    for impl in ("groups", "blocks1", "blocks2", "blocks4"):
+    # blocks8 with parts=4 exercises the non-divisible fallback (Q -> P)
+    for impl in ("groups", "blocks1", "blocks2", "blocks4", "blocks8"):
         other = PartConv(parts=4, features=6, impl=impl)
         np.testing.assert_allclose(
             ref, np.asarray(other.apply(params, x)), atol=1e-5)
@@ -251,7 +252,7 @@ def test_accumulate_impls_equivalent():
     dense = AccumulateLSTM(conv_impl="dense")
     params = dense.init(KEY, parts, mask)
     ref = np.asarray(dense.apply(params, parts, mask))
-    for impl in ("groups", "blocks3"):
+    for impl in ("groups", "blocks3", "blocks8"):
         other = AccumulateLSTM(conv_impl=impl)
         np.testing.assert_allclose(
             ref, np.asarray(other.apply(params, parts, mask)), atol=2e-5)
