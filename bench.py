@@ -62,14 +62,25 @@ def setup(T=30, R=4, S=256, p=200):
     cap_env = os.environ.get("BENCH_BAND_CAPACITY", "auto")
     cams_np = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (T, 1))
     if cap_env == "auto":
-        # the production path: measured-exact per-clip capacity bucket
+        # the production path: measured-exact per-clip capacity bucket (+
+        # copysort span + depth-range check, see adapt_to_clip)
         engine = engine.adapt_to_clip(cams_np, verts)
     else:
         import dataclasses
         engine = dataclasses.replace(engine, band_capacity=int(cap_env))
+    import dataclasses
+    if "BENCH_BIN_IMPL" in os.environ:  # A/B override: sort | copysort
+        engine = dataclasses.replace(
+            engine, bin_impl=os.environ["BENCH_BIN_IMPL"])
+    if "BENCH_RANGE_CHECKED" in os.environ:  # A/B override: 0 | 1
+        engine = dataclasses.replace(
+            engine,
+            depth_range_checked=bool(int(os.environ["BENCH_RANGE_CHECKED"])))
     import sys
     print(f"bench config: band_rows={engine.band_rows} "
-          f"band_capacity={engine.band_capacity}", file=sys.stderr)
+          f"band_capacity={engine.band_capacity} "
+          f"bin={engine.bin_impl}/{engine.bin_span} "
+          f"rangechk={int(engine.depth_range_checked)}", file=sys.stderr)
     pipe = JAFProPipeline(cfg, flow_engine=engine)
     params = pipe.init_params(jax.random.PRNGKey(0))
     clip = {

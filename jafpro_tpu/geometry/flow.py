@@ -86,6 +86,18 @@ class SMPLFlowEngine:
     # quantized race).  "exact": the CUDA formula bit-for-bit — parity
     # oracles pin this.
     depth_mode: str = "fused"
+    # Band-table construction (banded XLA path): "sort" = per-band row
+    # sort (safe for any mesh); "copysort" = one composite-key sort over
+    # ``bin_span`` copies per face (identical tables when every face's
+    # band range fits the span — ``select_bin_span``); "auto" = resolve to
+    # "copysort" with a measured span in ``adapt_to_clip``, "sort"
+    # otherwise.
+    bin_impl: str = "auto"
+    bin_span: int = 2
+    # Skip the fused race's per-(pixel, face) near/far compares + clamp;
+    # ONLY set by ``adapt_to_clip`` after host-verifying every vertex
+    # depth of the clip lies strictly inside (near, far).
+    depth_range_checked: bool = False
 
     @classmethod
     def create(
@@ -115,16 +127,30 @@ class SMPLFlowEngine:
         if self.band_rows <= 0 or self._use_pallas():
             return self
         from jafpro_tpu.geometry.projection import project_to_view_np
-        from jafpro_tpu.geometry.rasterizer import select_band_capacity
+        from jafpro_tpu.geometry.rasterizer import (
+            select_band_capacity, select_bin_span)
 
         view = project_to_view_np(np.asarray(vertices, np.float32),
                                   np.asarray(cams, np.float32),
                                   self.viewing_angle)
         fv = view[:, self.faces]
+        # the fused race's near/far checks are dead whenever every vertex
+        # depth is strictly inside (near, far); margin >> the ~1e-6-relative
+        # rounding of the affine 1/zp evaluation
+        z = fv[..., 2]
+        range_ok = bool((z.min() > self.near * 1.001)
+                        and (z.max() < self.far * 0.999))
+        eng = dataclasses.replace(self, depth_range_checked=range_ok)
         cap = select_band_capacity(fv, self.image_size, self.band_rows)
         if cap == 0:
-            return dataclasses.replace(self, band_rows=0)
-        return dataclasses.replace(self, band_capacity=cap)
+            return dataclasses.replace(eng, band_rows=0)
+        eng = dataclasses.replace(eng, band_capacity=cap)
+        if eng.bin_impl == "auto":
+            span = select_bin_span(fv, self.image_size, self.band_rows)
+            eng = dataclasses.replace(
+                eng, bin_impl="copysort" if span else "sort",
+                bin_span=span or eng.bin_span)
+        return eng
 
     def _use_pallas(self) -> bool:
         # "auto" currently resolves to the blocked-XLA kernel: on the
@@ -169,6 +195,12 @@ class SMPLFlowEngine:
                 far=self.far, chunk=self.chunk,
                 band_rows=self.band_rows, band_capacity=self.band_capacity,
                 depth_mode=self.depth_mode,
+                # "auto" = not adapted to a clip: the row sort is the form
+                # that needs no host-validated span
+                bin_impl=("sort" if self.bin_impl == "auto"
+                          else self.bin_impl),
+                bin_span=self.bin_span,
+                depth_range_checked=self.depth_range_checked,
             )
         return fv, fim, wim
 

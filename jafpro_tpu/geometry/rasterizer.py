@@ -54,7 +54,7 @@ def _face_inv(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _zbuffer_pass(xc, yc, payload, frontc, idsc, xi, yi, xp, yp,
-                  inv_near, inv_far, mode="exact"):
+                  inv_near, inv_far, mode="exact", range_checked=False):
     """Blocked z-buffer over face chunks for one pixel set.
 
     xc/yc: (n_chunks, K, 3) vertex coords (None in "fused" mode — the edge
@@ -109,8 +109,20 @@ def _zbuffer_pass(xc, yc, payload, frontc, idsc, xi, yi, xp, yp,
             inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
             q = (qk[:, 0][None] * xi[:, None]
                  + qk[:, 1][None] * yi[:, None] + qk[:, 2][None])
-            valid = inside & (q < inv_near) & (q > inv_far)
-            qi = (jnp.clip(q, 0.0, inv_near) * scale).astype(jnp.uint32)
+            if range_checked:
+                # every vertex depth is host-verified strictly inside
+                # (near, far) (``depth_range_checked``), and an inside
+                # pixel's affine 1/zp is a convex combination of its face's
+                # vertex 1/z values — the near/far compares and the upper
+                # clamp can never fire, so skip them.  max(q, 0) stays: it
+                # guards the float->uint32 convert on NON-inside lanes
+                # (whose q is unconstrained; their pv is masked below, but
+                # the convert itself must see a representable value).
+                valid = inside
+                qi = (jnp.maximum(q, 0.0) * scale).astype(jnp.uint32)
+            else:
+                valid = inside & (q < inv_near) & (q > inv_far)
+                qi = (jnp.clip(q, 0.0, inv_near) * scale).astype(jnp.uint32)
             idpack = (jnp.uint32(16383) - ids.astype(jnp.uint32))[None]
             pv = jnp.where(valid, qi * jnp.uint32(16384) + idpack,
                            jnp.uint32(0))
@@ -175,6 +187,8 @@ def _zbuffer_pass(xc, yc, payload, frontc, idsc, xi, yi, xp, yp,
 def _rasterize_single(
     fv: jnp.ndarray, image_size: int, near: float, far: float, chunk: int,
     band_rows: int = 0, band_capacity: int = 4096, depth_mode: str = "exact",
+    bin_impl: str = "sort", bin_span: int = 2,
+    depth_range_checked: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fv: (F, 3, 3) view-space triangles -> (fim (S,S) int32, wim (S,S,3)).
 
@@ -249,13 +263,62 @@ def _rasterize_single(
         hi = (2.0 * (r0 + band_rows - 1) + 1 - S) / S
         fy_min = jnp.min(y, axis=1)                       # (F,)
         fy_max = jnp.max(y, axis=1)
-        member = (front[None, :]
-                  & (fy_max[None, :] >= lo[:, None])
-                  & (fy_min[None, :] <= hi[:, None]))     # (nb, F)
-        # lowest-id member faces first; pad slots get id F (invalid)
-        key = jnp.where(member, jnp.arange(F, dtype=jnp.int32)[None, :],
-                        jnp.int32(F))
-        ids = jax.lax.sort(key, dimension=1)[:, :K]       # (nb, K) ascending
+        import os
+        if os.environ.get("JAFPRO_RASTER_BIN_DIAG") == "window":
+            # TIMING DIAGNOSTIC ONLY (bench A/B of the binning cost): skip
+            # the per-band membership sort and take a fixed id window per
+            # band — downstream shapes/gathers identical, output WRONG.
+            ids = jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32)[None, :], (nb, K))
+            ids = jnp.minimum(ids + (jnp.arange(nb, dtype=jnp.int32)
+                                     * jnp.int32(7))[:, None], jnp.int32(F))
+        elif bin_impl == "copysort" and F <= 16383:
+            # Single composite-key sort instead of nb row-sorts: the bands a
+            # face overlaps form a CONTIGUOUS index range [B0, B1] (lo/hi are
+            # increasing in the band index), found by two searchsorted passes
+            # over the same f32 values the membership comparisons use —
+            # bitwise-identical membership.  Each face emits ``bin_span``
+            # copies keyed (band << 14) | id; one ascending sort of the
+            # F*span copies then lists every band's members id-ascending in
+            # one contiguous run, unpacked to the (nb, K) table with a
+            # searchsorted over the band prefix + one gather.  Sort work
+            # drops from nb*F keys to F*span (span is 2 for SMPL faces under
+            # 16-row bands: triangles are a few pixels tall), measured ~2x
+            # end-to-end on the rasterizer (TUNING.md).  Per-band capacity
+            # overflow keeps the K lowest ids — the row-sort rule.  Spans
+            # wider than ``bin_span`` would drop the excess bands' copies, so
+            # production validates the span per clip exactly like the
+            # capacity bucket (``select_bin_bounds``; F > 16383 falls back to
+            # the row-sort path above, same id budget as the fused race).
+            M = bin_span
+            B0 = jnp.searchsorted(hi, fy_min, side="left").astype(jnp.int32)
+            B1 = (jnp.searchsorted(lo, fy_max, side="right").astype(jnp.int32)
+                  - 1)
+            band_j = B0[:, None] + jnp.arange(M, dtype=jnp.int32)[None, :]
+            ok_copy = (front[:, None] & (band_j <= B1[:, None])
+                       & (band_j < nb))                     # (F, M)
+            fid = jnp.arange(F, dtype=jnp.int32)[:, None]
+            key = jnp.where(ok_copy, band_j * 16384 + fid,
+                            jnp.int32(nb * 16384 + 16383))
+            keys_sorted = jnp.sort(key.reshape(-1))         # (F*M,)
+            offs = jnp.searchsorted(
+                keys_sorted,
+                jnp.arange(nb, dtype=jnp.int32) * 16384,
+                side="left").astype(jnp.int32)              # (nb,)
+            idx = offs[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+            k2 = keys_sorted[jnp.minimum(idx, F * M - 1)]   # (nb, K)
+            in_band = ((idx < F * M)
+                       & ((k2 // 16384)
+                          == jnp.arange(nb, dtype=jnp.int32)[:, None]))
+            ids = jnp.where(in_band, k2 & 16383, jnp.int32(F))
+        else:
+            member = (front[None, :]
+                      & (fy_max[None, :] >= lo[:, None])
+                      & (fy_min[None, :] <= hi[:, None]))   # (nb, F)
+            # lowest-id member faces first; pad slots get id F (invalid)
+            key = jnp.where(member, jnp.arange(F, dtype=jnp.int32)[None, :],
+                            jnp.int32(F))
+            ids = jax.lax.sort(key, dimension=1)[:, :K]     # (nb, K) ascending
         valid = ids < F
         safe = jnp.minimum(ids, F - 1)
 
@@ -300,7 +363,8 @@ def _rasterize_single(
                     depth_b),
                 vb.reshape(n_chunks, chunk),
                 idb.reshape(n_chunks, chunk),
-                xi_b, yi, xp, yp, inv_near, inv_far, depth_mode)
+                xi_b, yi, xp, yp, inv_near, inv_far, depth_mode,
+                depth_range_checked)
 
         # lax.map (scan) over bands: only ONE band's (Pb x chunk) temps are
         # live at a time — a vmap here keeps all nb bands' temporaries
@@ -355,7 +419,8 @@ def _rasterize_single(
                 depth_full),
             front.reshape(n_chunks, chunk),
             ids.reshape(n_chunks, chunk),
-            xi, yi, xp, yp, inv_near, inv_far, depth_mode)
+            xi, yi, xp, yp, inv_near, inv_far, depth_mode,
+            depth_range_checked)
 
     if depth_mode == "fused":
         # unpack (18-bit quantized 1/zp | 14-bit reversed id); the output
@@ -444,10 +509,49 @@ def select_band_capacity(
     return 0
 
 
+BIN_SPAN_BUCKETS = (2, 3, 4, 6, 8, 12, 16)
+
+
+def select_bin_span(
+    face_verts: np.ndarray, image_size: int = 256, band_rows: int = 16,
+    buckets: tuple = BIN_SPAN_BUCKETS,
+) -> int:
+    """Smallest ``bin_span`` bucket admitting every front face's band range
+    for the ``bin_impl="copysort"`` binning, or 0 when no bucket does
+    (caller should fall back to ``bin_impl="sort"``).
+
+    Mirrors the device's searchsorted band-range computation bitwise (same
+    f32 ``lo``/``hi`` arrays, same comparisons), so a selected span is a
+    *guarantee*, not a heuristic: a face overlapping bands [B0, B1] emits
+    exactly B1-B0+1 copies whenever span >= that count.  For SMPL meshes at
+    256 px / 16-row bands the span is 2 (triangles are a few pixels tall);
+    a span that small keeps the copy-sort ~nb/span times cheaper than the
+    per-band row sort."""
+    fv = np.asarray(face_verts, np.float32)
+    x, y = fv[..., 0], fv[..., 1]
+    front = (y[..., 2] - y[..., 0]) * (x[..., 1] - x[..., 0]) >= (
+        (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0]))
+    S = image_size
+    nb = S // band_rows
+    r0 = np.arange(nb, dtype=np.float32) * band_rows
+    lo = (2.0 * r0 + 1 - S) / S
+    hi = (2.0 * (r0 + band_rows - 1) + 1 - S) / S
+    fy_min, fy_max = y.min(-1), y.max(-1)
+    B0 = np.searchsorted(hi, fy_min, side="left")
+    B1 = np.searchsorted(lo, fy_max, side="right") - 1
+    span = np.where(front & (B1 >= B0), B1 - B0 + 1, 0)
+    need = int(span.max()) if span.size else 1
+    for s in sorted(buckets):
+        if need <= s:
+            return s
+    return 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y",
                               "return_depth", "band_rows", "band_capacity",
-                              "depth_mode")
+                              "depth_mode", "bin_impl", "bin_span",
+                              "depth_range_checked")
 )
 def rasterize_fim_wim(
     face_verts: jnp.ndarray,
@@ -460,6 +564,9 @@ def rasterize_fim_wim(
     band_rows: int = 0,
     band_capacity: int = 4096,
     depth_mode: str = "exact",
+    bin_impl: str = "sort",
+    bin_span: int = 2,
+    depth_range_checked: bool = False,
 ):
     """Rasterize (B, F, 3, 3) view-space triangles into per-pixel
     (face_index_map (B, S, S) int32 [-1 = background],
@@ -496,11 +603,24 @@ def rasterize_fim_wim(
     resolve to the lowest face id, the CUDA rule); the emitted weight and
     depth maps are always recomputed exactly for the winning face.
     Requires F <= 16383 (falls back to "affine" above that).
+
+    ``bin_impl="copysort"`` (banded path only) builds the per-band face
+    tables with ONE composite-key sort over ``bin_span`` copies per face
+    instead of a row-sort per band — identical tables (see
+    ``_rasterize_single``) whenever every face's band range fits
+    ``bin_span`` (validate per clip with ``select_bin_span``; F > 16383
+    falls back to the row-sort form).
+
+    ``depth_range_checked=True`` (fused mode only) skips the per-(pixel,
+    face) near/far validity compares and the quantizer's upper clamp —
+    sound whenever every vertex depth lies strictly inside (near, far),
+    which ``SMPLFlowEngine.adapt_to_clip`` verifies on the host per clip.
     """
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far,
         chunk=chunk, band_rows=band_rows, band_capacity=band_capacity,
-        depth_mode=depth_mode,
+        depth_mode=depth_mode, bin_impl=bin_impl, bin_span=bin_span,
+        depth_range_checked=depth_range_checked,
     )
     fim, wim, dim = jax.vmap(fn)(face_verts)
     if flip_y:

@@ -195,6 +195,96 @@ def test_band_occupancy_predicts_exactness():
     np.testing.assert_array_equal(np.asarray(dense[0]), np.asarray(banded[0]))
 
 
+@pytest.mark.parametrize("depth_mode,band_rows,cap", [
+    ("exact", 8, 4096),   # plenty of capacity
+    ("fused", 8, 4096),
+    ("fused", 16, 4096),
+    ("exact", 8, 16),     # capacity binds: truncation rule must also match
+])
+def test_rasterizer_copysort_matches_sort(depth_mode, band_rows, cap):
+    """bin_impl='copysort' (one composite-key sort over per-face band
+    copies) builds bitwise-identical band tables to the per-band row sort
+    whenever bin_span admits every face's band range — including the
+    K-lowest-ids truncation rule when capacity binds."""
+    from jafpro_tpu.geometry.rasterizer import select_bin_span
+
+    S, near, far = 32, 0.1, 25.0
+    for seed in (1, 5, 9):
+        fv = random_faces(60, seed=seed)
+        span = select_bin_span(fv[None], image_size=S, band_rows=band_rows)
+        assert span > 0
+        kw = dict(image_size=S, near=near, far=far, chunk=16, flip_y=False,
+                  band_rows=band_rows, band_capacity=cap,
+                  depth_mode=depth_mode, return_depth=True)
+        ref = rasterize_fim_wim(jnp.asarray(fv)[None], bin_impl="sort", **kw)
+        got = rasterize_fim_wim(jnp.asarray(fv)[None], bin_impl="copysort",
+                                bin_span=span, **kw)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_select_bin_span_bounds_band_ranges():
+    """The selected span bucket really covers every front face's band
+    range (cross-checked against the membership matrix the row sort
+    uses)."""
+    from jafpro_tpu.geometry.rasterizer import band_occupancy, select_bin_span
+
+    S, band_rows = 32, 8
+    fv = random_faces(80, seed=3)[None].astype(np.float32)
+    span = select_bin_span(fv, image_size=S, band_rows=band_rows)
+    x, y = fv[0, :, :, 0], fv[0, :, :, 1]
+    front = (y[:, 2] - y[:, 0]) * (x[:, 1] - x[:, 0]) >= (
+        (y[:, 1] - y[:, 0]) * (x[:, 2] - x[:, 0]))
+    nb = S // band_rows
+    r0 = np.arange(nb, dtype=np.float32) * band_rows
+    lo = (2.0 * r0 + 1 - S) / S
+    hi = (2.0 * (r0 + band_rows - 1) + 1 - S) / S
+    member = (front[None, :] & (y.max(1)[None] >= lo[:, None])
+              & (y.min(1)[None] <= hi[:, None]))  # (nb, F)
+    for f in np.nonzero(member.any(0))[0]:
+        bands = np.nonzero(member[:, f])[0]
+        assert bands.max() - bands.min() + 1 <= span
+
+
+def test_rasterizer_fused_range_checked_matches():
+    """depth_range_checked=True drops the per-(pixel, face) near/far
+    compares + clamp; with every vertex depth strictly inside (near, far)
+    — the host-verified precondition — output is bitwise identical."""
+    S, near, far = 32, 0.1, 25.0
+    for band_rows in (0, 8):
+        fv = random_faces(50, seed=2)  # z in [1, 5] strictly inside
+        kw = dict(image_size=S, near=near, far=far, chunk=16, flip_y=False,
+                  band_rows=band_rows, band_capacity=4096,
+                  depth_mode="fused", return_depth=True)
+        ref = rasterize_fim_wim(jnp.asarray(fv)[None],
+                                depth_range_checked=False, **kw)
+        got = rasterize_fim_wim(jnp.asarray(fv)[None],
+                                depth_range_checked=True, **kw)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_adapt_to_clip_selects_bin_and_range(tmp_path):
+    """adapt_to_clip measures capacity, copysort span, and the vertex
+    depth-range precondition per clip on the host."""
+    from jafpro_tpu.train.common import synthetic_quad_mesh
+
+    verts, faces = synthetic_quad_mesh(12)
+    eng = SMPLFlowEngine(faces=faces, image_size=32, band_rows=8)
+    cams = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (3, 1))
+    v = np.tile(verts[None], (3, 1, 1)).astype(np.float32)
+    v[..., 2] += 2.0
+    adapted = eng.adapt_to_clip(cams, v)
+    assert adapted.bin_impl == "copysort" and adapted.bin_span >= 1
+    assert adapted.depth_range_checked
+    assert adapted.band_capacity >= 1
+    # depths outside (near, far) must disable the range-checked race
+    v_far = v.copy()
+    v_far[..., 2] += 100.0  # beyond far=25
+    adapted_far = eng.adapt_to_clip(cams, v_far)
+    assert not adapted_far.depth_range_checked
+
+
 def test_torch_params_orbax_roundtrip(tmp_path):
     """Converted torch params survive an orbax save/restore cycle."""
     pytest.importorskip("torch")
