@@ -29,7 +29,14 @@ def time_variant(pipe, params, clip, T, ablate):
 
     from jafpro_tpu.infer import VideoGenerator
 
-    gen = VideoGenerator(pipe, ablate=frozenset(ablate))
+    # honor the same mode env knobs as bench.main so attributions are
+    # always measured at the configuration under study
+    gen = VideoGenerator(
+        pipe, ablate=frozenset(ablate),
+        frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
+        raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"),
+        flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"),
+        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"))
     chain = jax.jit(lambda c, final: dict(
         c, bg_incomplete=c["bg_incomplete"] + 1e-12 * jnp.mean(final)))
 

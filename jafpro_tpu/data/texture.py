@@ -195,6 +195,80 @@ def texture_warp_lut(lut: jnp.ndarray, iuv255: jnp.ndarray,
     return jnp.where((pid > 0)[..., None], out, 0.0)
 
 
+def texture_warp_mm(parts: jnp.ndarray, iuv255: jnp.ndarray,
+                    quant: str = "bf16") -> jnp.ndarray:
+    """Dense-matmul lowering of :func:`texture_warp` — zero gathers.
+
+    XLA-TPU lowers per-pixel random gathers at ~50 ns/index regardless of
+    slice shape (TUNING.md: the 65k-tap LUT warp measures ~3.3 ms/frame,
+    ~20x off the HBM floor), so the only way past the gather floor without
+    Mosaic is to eliminate indexing entirely.  Per pixel the reference
+    bilinear sample (``train/4.convLSTM_flowpro_interval.py:43-76``) is
+
+      ``out = (sel_part ⊗ tent_y) @ T @ tent_x``
+
+    where ``tent_k(c) = relu(1 - |c - k|)`` reproduces the bilinear
+    weights exactly (two adjacent nonzeros ``1-f`` / ``f``; one exact 1 at
+    integer coordinates) and ``T`` is the (P*p, p*C) tile tensor.  The
+    (part, y) factor collapses into ONE dense (N, P*p) operand consumed by
+    a single MXU matmul; the x-interpolation is a fused multiply-reduce.
+    Traffic is dominated by the dense one-hot operand (S=256, p=200:
+    65536 x 4800 ≈ 630 MB bf16 / 315 MB int8 per frame) and compute by
+    the 189-GMAC matmul — both forms trade HBM-random-access serialization
+    for dense MXU work.
+
+    ``quant``:
+      * ``"bf16"``: weights and tiles in bfloat16 — same precision class
+        as the pipeline's compute dtype (~0.4% relative).
+      * ``"int8"``: both matmul operands quantized to int8 (x127), int32
+        accumulation on the MXU (2x the bf16 MXU rate, half the operand
+        traffic).  Absolute output error ≤ ~1/127 on the (-1, 1) texture
+        scale — the same order as the uint8 source data's own precision,
+        but NOT bit-comparable to the float forms; opt-in perf mode.
+
+    Args:
+      parts: (B, P, p, p, C) texture tiles (values in (-1, 1)).
+      iuv255: (B, S, S, 3) float; channel 0 = part id (0 = background).
+    Returns: (B, S, S, C); 0 outside the body.
+    """
+    B, P, p, _, C = parts.shape
+    S1, S2 = iuv255.shape[1], iuv255.shape[2]
+    N = S1 * S2
+    pid = iuv255[..., 0].reshape(B, N)
+    u = iuv255[..., 1].reshape(B, N)
+    v = iuv255[..., 2].reshape(B, N)
+    part = jnp.clip(pid.astype(jnp.int32) - 1, 0, P - 1)
+    # tile-local bilinear coordinates, exactly texture_warp_atlas's
+    y_loc = (u / 255.0) * (p - 1)             # row (U axis)
+    x_loc = ((255.0 - v) / 255.0) * (p - 1)   # col (mirrored V axis)
+    ks = jnp.arange(p, dtype=jnp.float32)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_loc[..., None] - ks))  # (B,N,p)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc[..., None] - ks))  # (B,N,p)
+    sel = part[..., None] == jnp.arange(P)[None, None]           # (B,N,P)
+    T2 = parts.reshape(B, P * p, p * C)
+    if quant == "int8":
+        qty = jnp.rint(ty * 127.0).astype(jnp.int8)
+        wpy = jnp.where(sel[..., None], qty[:, :, None, :],
+                        jnp.int8(0)).reshape(B, N, P * p)
+        tq = jnp.rint(jnp.clip(T2.astype(jnp.float32), -1.0, 1.0)
+                      * 127.0).astype(jnp.int8)
+        m = jax.lax.dot_general(
+            wpy, tq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        m = m.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        dt = jnp.bfloat16 if quant == "bf16" else jnp.dtype(quant)
+        wpy = jnp.where(sel[..., None], ty[:, :, None, :].astype(dt),
+                        jnp.zeros((), dt)).reshape(B, N, P * p)
+        m = jax.lax.dot_general(
+            wpy, T2.astype(dt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnxc,bnx->bnc", m.reshape(B, N, p, C),
+                     tx.astype(m.dtype))
+    out = out.reshape(B, S1, S2, C).astype(parts.dtype)
+    return jnp.where((iuv255[..., :1] > 0), out, 0.0)
+
+
 def unwrap_texture(
     image: np.ndarray, iuv255: np.ndarray, tex_size: int = 32,
     part_size: int = 200,

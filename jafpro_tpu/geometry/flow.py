@@ -134,13 +134,13 @@ class SMPLFlowEngine:
                                   np.asarray(cams, np.float32),
                                   self.viewing_angle)
         fv = view[:, self.faces]
-        # the fused race's near/far checks are dead whenever every vertex
-        # depth is strictly inside (near, far); margin >> the ~1e-6-relative
-        # rounding of the affine 1/zp evaluation
-        z = fv[..., 2]
-        range_ok = bool((z.min() > self.near * 1.001)
-                        and (z.max() < self.far * 0.999))
-        eng = dataclasses.replace(self, depth_range_checked=range_ok)
+        # NOT selected: depth_range_checked.  The precondition (every vertex
+        # depth strictly inside (near, far)) holds for normal clips, but the
+        # "optimization" MEASURED SLOWER on TPU — 58.0 vs 64.4 f/s in-session
+        # (TUNING.md round 2: dropping the compares denies XLA the
+        # clip-before-convert form it fuses better).  It stays a tested
+        # opt-in knob only.
+        eng = self
         cap = select_band_capacity(fv, self.image_size, self.band_rows)
         if cap == 0:
             return dataclasses.replace(eng, band_rows=0)

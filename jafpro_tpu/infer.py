@@ -65,7 +65,10 @@ class VideoGenerator:
     # arbitrary float coordinates.  "lut2": same table, but the per-frame
     # lookup gathers the contiguous (part, u) row and selects v with a
     # fused one-hot reduce (texture_warp_lut impl="rows") — the
-    # lane-aligned gather shape the TPU vectorizes.
+    # lane-aligned gather shape the TPU vectorizes.  "mm"/"mm8": dense
+    # tent-weight matmul straight off the part tiles (texture_warp_mm) —
+    # zero gathers; "mm" keeps bf16 operands, "mm8" quantizes both matmul
+    # operands to int8 (2x MXU rate, ~1/127 absolute tolerance).
     warp_mode: str = "lut"
     # Timing diagnostics ONLY (bench_breakdown.py): component names to
     # replace with cheap shape-preserving stand-ins so whole-program A/B
@@ -132,7 +135,7 @@ class VideoGenerator:
 
         from jafpro_tpu.data.texture import (
             build_texture_warp_lut, parts_to_atlas, texture_warp_atlas,
-            texture_warp_lut)
+            texture_warp_lut, texture_warp_mm)
         from jafpro_tpu.geometry.flow import cal_bc_transform
 
         T = clip["tgt_iuv255"].shape[0]
@@ -153,6 +156,8 @@ class VideoGenerator:
                                 (0, 256 - p), (0, 0)))
             else:
                 warp_src = build_texture_warp_lut(inpainted)
+        elif self.warp_mode in ("mm", "mm8"):
+            warp_src = inpainted  # matmul consumes the tiles directly
         else:
             warp_src = parts_to_atlas(inpainted)
         warp_src_b = jnp.broadcast_to(warp_src, (fb,) + warp_src.shape[1:])
@@ -184,6 +189,10 @@ class VideoGenerator:
                 warped = texture_warp_lut(warp_src_b, iuv255, impl="rows")
             elif self.warp_mode == "lut":
                 warped = texture_warp_lut(warp_src_b, iuv255)
+            elif self.warp_mode in ("mm", "mm8"):
+                warped = texture_warp_mm(
+                    warp_src_b, iuv255,
+                    quant="int8" if self.warp_mode == "mm8" else "bf16")
             else:
                 warped = texture_warp_atlas(warp_src_b, iuv255)
             if "refine" in self.ablate:

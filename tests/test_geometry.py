@@ -265,8 +265,9 @@ def test_rasterizer_fused_range_checked_matches():
 
 
 def test_adapt_to_clip_selects_bin_and_range(tmp_path):
-    """adapt_to_clip measures capacity, copysort span, and the vertex
-    depth-range precondition per clip on the host."""
+    """adapt_to_clip measures capacity and the copysort span per clip on
+    the host.  depth_range_checked must stay OFF: it measured ~10% slower
+    on TPU (TUNING.md round 2), so adapt never selects it."""
     from jafpro_tpu.train.common import synthetic_quad_mesh
 
     verts, faces = synthetic_quad_mesh(12)
@@ -276,13 +277,8 @@ def test_adapt_to_clip_selects_bin_and_range(tmp_path):
     v[..., 2] += 2.0
     adapted = eng.adapt_to_clip(cams, v)
     assert adapted.bin_impl == "copysort" and adapted.bin_span >= 1
-    assert adapted.depth_range_checked
+    assert not adapted.depth_range_checked
     assert adapted.band_capacity >= 1
-    # depths outside (near, far) must disable the range-checked race
-    v_far = v.copy()
-    v_far[..., 2] += 100.0  # beyond far=25
-    adapted_far = eng.adapt_to_clip(cams, v_far)
-    assert not adapted_far.depth_range_checked
 
 
 def test_torch_params_orbax_roundtrip(tmp_path):

@@ -190,6 +190,38 @@ def test_texture_warp_lut_matches_gather():
     assert (ours[iuv[..., 0] == 0] == 0).all()
 
 
+def test_texture_warp_mm_matches_gather():
+    """The dense tent-weight matmul warp (zero gathers) must reproduce the
+    4-tap bilinear warp: exactly in float32, within dtype tolerance in its
+    bf16 and int8 production quantizations.  Unlike the LUT form it is
+    exact bilinear, so non-integer IUV coordinates are covered too."""
+    from jafpro_tpu.data.texture import texture_warp_mm
+
+    rng = np.random.RandomState(13)
+    S, P = 32, 24
+    parts = np.tanh(rng.randn(2, P, 16, 16, 3)).astype(np.float32)
+    iuv = np.zeros((2, S, S, 3), np.float32)
+    iuv[..., 0] = rng.randint(0, 25, size=(2, S, S))
+    iuv[..., 1:] = rng.randint(0, 256, size=(2, S, S, 2))
+    iuv[0, 0, :4, 1:] = [[0, 0], [0, 255], [255, 0], [255, 255]]
+    iuv[1, ..., 1:] += rng.uniform(0, 1, size=(S, S, 2))  # non-integer UV
+    iuv[1, ..., 1:] = np.clip(iuv[1, ..., 1:], 0, 255)
+
+    ref = np.asarray(texture_warp(jnp.asarray(parts), jnp.asarray(iuv)))
+    exact = np.asarray(
+        texture_warp_mm(jnp.asarray(parts), jnp.asarray(iuv),
+                        quant="float32"))
+    np.testing.assert_allclose(exact, ref, atol=1e-5)
+    bf16 = np.asarray(
+        texture_warp_mm(jnp.asarray(parts), jnp.asarray(iuv), quant="bf16"))
+    np.testing.assert_allclose(bf16, ref, atol=3e-2)
+    i8 = np.asarray(
+        texture_warp_mm(jnp.asarray(parts), jnp.asarray(iuv), quant="int8"))
+    # two x127 quantized factors -> <= ~2/127 absolute on the (-1,1) scale
+    np.testing.assert_allclose(i8, ref, atol=2.5e-2)
+    assert (exact[iuv[..., 0] == 0] == 0).all()
+
+
 def test_sample_layer_norm_matches_torch_reference():
     """The CRN's custom LayerNorm has unusual semantics (per-sample stats
     over all dims, Bessel-corrected std, (x-mean)/(std+eps)) — check against
