@@ -62,11 +62,19 @@ def main():
     _ = np.asarray(metrics["loss"])  # step chain is sequential by state
     dt = (time.perf_counter() - t0) / n
 
+    baseline = None
+    if B == 4 and os.path.exists("BENCH_TRAIN_BASELINE.json"):
+        try:
+            baseline = json.load(
+                open("BENCH_TRAIN_BASELINE.json")).get("value")
+        except Exception:
+            baseline = None
+    ips = 1.0 / dt
     print(json.dumps({
         "metric": f"stage4_train_iters_per_sec_batch{B}_256px",
-        "value": round(1.0 / dt, 4),
+        "value": round(ips, 4),
         "unit": "iters/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(ips / baseline, 3) if baseline else 1.0,
     }))
 
 

@@ -435,6 +435,37 @@ def cmd_evaluate(args) -> None:
             f.write(repr(mean) + "\n")
 
 
+def cmd_gif(args) -> None:
+    """Stack each video's generated frames into a GIF
+    (``test/convert_gif.py:36-51``: skips the mask_/coarse_/tsf_ variants,
+    sorts by frame number, BGR->RGB, one GIF per video under
+    ``gif_result/<project>/``)."""
+    import cv2
+
+    from jafpro_tpu.data.texture import write_gif
+
+    if not os.path.isdir(args.pred_dir):
+        raise SystemExit(f"gif: --pred_dir not found: {args.pred_dir}")
+    project = os.path.basename(os.path.normpath(args.pred_dir))
+    for vid in sorted(os.listdir(args.pred_dir)):
+        vdir = os.path.join(args.pred_dir, vid)
+        if not os.path.isdir(vdir):
+            continue
+        names = sorted(
+            (n for n in os.listdir(vdir)
+             if n.startswith("frame_") and n.endswith((".jpg", ".png"))),
+            key=lambda n: int("".join(c for c in n if c.isdigit())))
+        if not names:
+            continue
+        frames = np.stack([
+            cv2.imread(os.path.join(vdir, n))[:, :, ::-1] for n in names])
+        out_dir = os.path.join(args.out_dir, project, vid + "_video")
+        os.makedirs(out_dir, exist_ok=True)
+        path = write_gif(os.path.join(out_dir, "video.gif"),
+                         frames, fps=args.fps)
+        print("wrote", path)
+
+
 def cmd_pack(args) -> None:
     from jafpro_tpu.config import get_general_options
     from jafpro_tpu.data.shardio import pack_dancevideo
@@ -485,6 +516,15 @@ def main(argv: Optional[list] = None) -> None:
     e.add_argument("--no-deep-metrics", action="store_true",
                    help="skip the VGG/FlowNetSD hooks (4 fast metrics only)")
     e.set_defaults(fn=cmd_evaluate)
+
+    g = sub.add_parser(
+        "gif", help="stack generated frames into per-video GIFs "
+        "(test/convert_gif.py equivalent)")
+    g.add_argument("--pred_dir", required=True,
+                   help="inference output dir (per-video subdirs of frames)")
+    g.add_argument("--out_dir", default="gif_result")
+    g.add_argument("--fps", type=int, default=15)
+    g.set_defaults(fn=cmd_gif)
 
     k = sub.add_parser(
         "pack", help="pre-pack DanceVideo interval samples into native "

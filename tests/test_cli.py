@@ -136,3 +136,28 @@ def test_evaluate_cli_emits_all_six_metrics(workdir, capsys):
     out = capsys.readouterr().out
     for key in ("ssim", "ms_ssim", "psnr", "l1", "vgg", "flow_l1"):
         assert f"'{key}'" in out, f"missing metric {key}"
+
+
+def test_gif_cli_writes_per_video_gifs(workdir, capsys):
+    """The gif CLI stacks only the final frames (skipping mask_/coarse_/
+    tsf_ variants) into gif_result/<project>/<vid>_video/video.gif
+    (test/convert_gif.py:36-51)."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    d = workdir / "myexp" / "vid_a"
+    d.mkdir(parents=True)
+    for i in range(4):
+        img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        cv2.imwrite(str(d / f"frame_{i:03d}.jpg"), img)
+        cv2.imwrite(str(d / f"mask_frame_{i:03d}.jpg"), img)
+        cv2.imwrite(str(d / f"coarse_frame_{i:03d}.jpg"), img)
+    cli.main(["gif", "--pred_dir", str(workdir / "myexp")])
+    out_path = (workdir / "gif_result" / "myexp" / "vid_a_video" /
+                "video.gif")
+    assert out_path.exists()
+    from PIL import Image
+
+    with Image.open(out_path) as im:
+        assert im.n_frames == 4  # finals only, not the 12 variants
+    assert "wrote" in capsys.readouterr().out
