@@ -96,7 +96,8 @@ def main():
 
     F = torch.nn.functional
     torch.manual_seed(0)
-    B, R, S, p, NF = 4, 4, 256, 200, 13776
+    R, S, p, NF = 4, 256, 200, 13776
+    B = int(os.environ.get("BENCH_B", "4"))  # BENCH_B=1: correctness smoke
 
     accu = Accumulate_LSTM_no_loss().train()
     _patch_lstm_cpu(conv_lstm, accu)
@@ -236,7 +237,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
 
     result = {
-        "metric": "stage4_train_iters_per_sec_batch4_256px",
+        "metric": f"stage4_train_iters_per_sec_batch{B}_256px",
         "value": round(1.0 / dt, 4),
         "unit": "iters/s",
         "hardware": f"torch-{torch.__version__} CPU, "
@@ -244,13 +245,14 @@ def main():
                     "build not runnable in this environment)",
         "iter_seconds": round(dt, 2),
         "notes": "reference torch modules composed per train/4.convLSTM_"
-                 "flowpro_interval.py:202-413 with random weights on "
-                 "bench_train.py's shapes (batch 4, 4 refs); CUDA "
+                 f"flowpro_interval.py:202-413 with random weights on "
+                 f"bench_train.py's shapes (batch {B}, 4 refs); CUDA "
                  "rasterizer excluded (precomputed fim/wim) — favors this "
                  "baseline, so vs_baseline is a lower bound",
     }
-    with open("BENCH_TRAIN_BASELINE.json", "w") as f:
-        json.dump(result, f, indent=1)
+    if B == 4:  # only the reference's batch-4 config is the baseline
+        with open("BENCH_TRAIN_BASELINE.json", "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 
