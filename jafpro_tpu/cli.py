@@ -36,6 +36,49 @@ def _build_pipeline(cfg, synthetic: bool):
     return JAFProPipeline(cfg), None
 
 
+# Cross-stage warm start: which module subtrees each stage boots from the
+# previous stage's checkpoint (fresh optimizer state, like the reference's
+# load_state_dict-then-new-Adam startups):
+#   stage 2 loads accu          (train/2.text_inpaint_convLSTM.py:79-85)
+#   stage 3 loads accu+inpaint  (train/3.inpaint_global_convLSTM_FGAN.py:123-129)
+#   stage 4 loads accu+inpaint+bg+refine (train/4...py:120-141)
+STAGE_WARM_MODULES = {
+    2: ("accu",),
+    3: ("accu", "inpaint"),
+    4: ("accu", "inpaint", "bg", "refine"),
+}
+
+
+def _warm_start(params, cfg, stage: int, init_from: str):
+    """Seed the stage's consumed module subtrees from a donor experiment's
+    checkpoint (``--init-from <exp>[:<step>]``), leaving everything else —
+    including optimizer state — fresh."""
+    import jax
+    import jax.numpy as jnp
+
+    from jafpro_tpu.checkpoints import latest_step, restore_checkpoint
+
+    if stage not in STAGE_WARM_MODULES:
+        raise SystemExit(
+            "--init-from applies to stages 2-4 (stage 1 trains from scratch "
+            "in the reference)")
+    donor, _, step_s = init_from.partition(":")
+    donor_dir = os.path.join(cfg.model_save_dir, donor)
+    donor_step = int(step_s) if step_s else latest_step(donor_dir)
+    if donor_step is None:
+        raise SystemExit(f"--init-from: no checkpoints under {donor_dir}")
+    donor_params = restore_checkpoint(donor_dir, donor_step)["params"]
+    mods = STAGE_WARM_MODULES[stage]
+    for m in mods:
+        if m not in donor_params:
+            raise SystemExit(
+                f"--init-from: donor checkpoint lacks module {m!r} "
+                f"(has {sorted(donor_params)})")
+        params[m] = jax.tree_util.tree_map(jnp.asarray, donor_params[m])
+    print(f"warm start: {{{','.join(mods)}}} <- {donor_dir}/iter_{donor_step}")
+    return params
+
+
 def _make_step(pipe, stage: int):
     if stage == 1:
         from jafpro_tpu.train.stage1 import make_stage1_step, stage1_lrs
@@ -113,7 +156,8 @@ def _raw_batch_source(args, cfg, rng, verts):
             if args.stage <= 2:
                 s = load_textonly_sample(
                     os.path.join(cfg.data_root, "train"), vid, rng,
-                    cfg.maximum_ref_frames, cfg.num_target)
+                    cfg.maximum_ref_frames, cfg.num_target,
+                    fix_frame=cfg.fix_frame, self_recon=cfg.self_recon)
             else:
                 s = load_interval_sample(
                     os.path.join(cfg.data_root, "train"),
@@ -195,6 +239,8 @@ def cmd_train(args) -> None:
     pipe, verts = _build_pipeline(cfg, args.synthetic)
     pipe = _adapt_train_engine(pipe, cfg, args.stage, args.synthetic)
     params = pipe.init_params(jax.random.PRNGKey(args.seed))
+    if args.init_from:
+        params = _warm_start(params, cfg, args.stage, args.init_from)
 
     step_fn, lrs = _make_step(pipe, args.stage)
     state = TrainState.create(params, lrs)
@@ -278,13 +324,17 @@ def cmd_infer(args) -> None:
     # Per-clip measured-exact band capacity: one VideoGenerator per
     # (band_rows, capacity) bucket so jit caches stay warm across clips that
     # share a bucket (capacity is a static arg of the rasterizer).
+    # adapt_to_clip (host NumPy) runs in the prefetch thread; generator
+    # construction stays on the compute thread (no cross-thread jit races).
     from jafpro_tpu.pipeline import JAFProPipeline
 
     base_engine = pipe.flow_engine
     _gens = {}
 
-    def gen_for(clip_np):
-        eng = base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
+    def adapt_engine(clip_np):
+        return base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
+
+    def gen_for_engine(eng):
         key = (eng.band_rows, eng.band_capacity)
         if key not in _gens:
             p = pipe if eng is base_engine else \
@@ -326,6 +376,12 @@ def cmd_infer(args) -> None:
         return {k: jnp.asarray(v) for k, v in clip_np.items()
                 if k not in ("gt_frames", "vid_name")}
 
+    # Overlapped serving loop: prefetch thread decodes + adapts clip i+1,
+    # the device generates clip i, the writer pool encodes clip i-1 — the
+    # reference's loop is strictly serial (conv_pro_test.py:143-163) and its
+    # own timing shows host prep dominating.
+    from jafpro_tpu.utils.overlap import run_overlapped
+
     vids = list_videos(cfg.data_root, "test")
     nd = max(args.num_devices, 1)
     if nd > 1:
@@ -333,25 +389,45 @@ def cmd_infer(args) -> None:
         from jafpro_tpu.parallel import create_mesh
 
         mesh = create_mesh(nd, ("data",))
-        for start in range(0, len(vids) - len(vids) % nd, nd):
-            group = vids[start:start + nd]
+        groups = [tuple(vids[s:s + nd])
+                  for s in range(0, len(vids) - len(vids) % nd, nd)]
+
+        def load_group(group):
             clips_np = [load_one(v) for v in group]
+            return clips_np, [adapt_engine(c) for c in clips_np]
+
+        def compute_group(group, loaded):
+            clips_np, engines = loaded
             # one program per group: the most conservative clip's bucket
             # (dense beats any capacity) keeps every clip exact
-            group_gens = [gen_for(c) for c in clips_np]
+            group_gens = [gen_for_engine(e) for e in engines]
             gen = min(group_gens,
                       key=lambda g: (g.pipe.flow_engine.band_rows or -1,
                                      -g.pipe.flow_engine.band_capacity))
             clips = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[to_device(c) for c in clips_np])
-            out = gen.generate_batch(params, clips, mesh=mesh)
+            return gen.generate_batch(params, clips, mesh=mesh)
+
+        def write_group(group, out):
             for ci, vid in enumerate(group):
                 write_frames(vid, out, clip_idx=ci)
+
+        for _ in run_overlapped(groups, load_group, compute_group,
+                                write_group):
+            pass
         vids = vids[len(vids) - len(vids) % nd:]  # remainder: single path
-    for vid in vids:
+
+    def load_single(vid):
         clip_np = load_one(vid)
-        out = gen_for(clip_np)(params, to_device(clip_np))
-        write_frames(vid, out)
+        return clip_np, adapt_engine(clip_np)
+
+    def compute_single(vid, loaded):
+        clip_np, eng = loaded
+        return gen_for_engine(eng)(params, to_device(clip_np))
+
+    for _ in run_overlapped(list(vids), load_single, compute_single,
+                            write_frames):
+        pass
     print("Testing Done.")
 
 
@@ -405,10 +481,21 @@ def cmd_evaluate(args) -> None:
     hooks = {} if args.no_deep_metrics else _metric_hooks()
 
     def read_frames(d):
-        names = sorted(n for n in os.listdir(d)
-                       if n.endswith((".jpg", ".png"))
-                       and not n.startswith(("mask_", "coarse_", "tsf_")))
-        return np.stack([cv2.imread(os.path.join(d, n)) for n in names])
+        # skip the inference side-outputs (mask_/coarse_/tsf_ prefixes) AND
+        # the raw-dataset auxiliary images (_IUV/_text/_mask suffixes) so a
+        # dataset dir works directly as --gt
+        names = sorted(
+            n for n in os.listdir(d)
+            if n.endswith((".jpg", ".png"))
+            and not n.startswith(("mask_", "coarse_", "tsf_"))
+            and not n.rsplit(".", 1)[0].endswith(("_IUV", "_text", "_mask")))
+        frames = []
+        for n in names:
+            img = cv2.imread(os.path.join(d, n))
+            if img is None:
+                raise SystemExit(f"evaluate: unreadable frame {d}/{n}")
+            frames.append(img)
+        return np.stack(frames)
 
     for name, d in (("--pred", args.pred), ("--gt", args.gt)):
         if not os.path.isdir(d):
@@ -440,6 +527,8 @@ def cmd_gif(args) -> None:
     (``test/convert_gif.py:36-51``: skips the mask_/coarse_/tsf_ variants,
     sorts by frame number, BGR->RGB, one GIF per video under
     ``gif_result/<project>/``)."""
+    import re
+
     import cv2
 
     from jafpro_tpu.data.texture import write_gif
@@ -447,18 +536,24 @@ def cmd_gif(args) -> None:
     if not os.path.isdir(args.pred_dir):
         raise SystemExit(f"gif: --pred_dir not found: {args.pred_dir}")
     project = os.path.basename(os.path.normpath(args.pred_dir))
+    frame_re = re.compile(r"^frame_(\d+)\.(jpg|png)$")
     for vid in sorted(os.listdir(args.pred_dir)):
         vdir = os.path.join(args.pred_dir, vid)
         if not os.path.isdir(vdir):
             continue
-        names = sorted(
-            (n for n in os.listdir(vdir)
-             if n.startswith("frame_") and n.endswith((".jpg", ".png"))),
-            key=lambda n: int("".join(c for c in n if c.isdigit())))
-        if not names:
+        matches = sorted(
+            (int(m.group(1)), n)
+            for n in os.listdir(vdir)
+            if (m := frame_re.match(n)) is not None)
+        if not matches:
             continue
-        frames = np.stack([
-            cv2.imread(os.path.join(vdir, n))[:, :, ::-1] for n in names])
+        frames = []
+        for _, n in matches:
+            img = cv2.imread(os.path.join(vdir, n))
+            if img is None:
+                raise SystemExit(f"gif: unreadable frame {vdir}/{n}")
+            frames.append(img[:, :, ::-1])
+        frames = np.stack(frames)
         out_dir = os.path.join(args.out_dir, project, vid + "_video")
         os.makedirs(out_dir, exist_ok=True)
         path = write_gif(os.path.join(out_dir, "video.gif"),
@@ -497,6 +592,12 @@ def main(argv: Optional[list] = None) -> None:
     t.add_argument("--shards", default="",
                    help="packed-shard dir or glob (see the pack subcommand); "
                    "training then streams through the native reader")
+    t.add_argument("--init-from", default="",
+                   help="cross-stage warm start: seed this stage's consumed "
+                   "module subtrees (stage 2: accu; 3: accu+inpaint; "
+                   "4: accu+inpaint+bg+refine) from another experiment's "
+                   "checkpoint, '<exp>[:<step>]' (latest step if omitted); "
+                   "optimizer state starts fresh")
     t.add_argument("--resume", action="store_true",
                    help="resume params+optimizer+step from the latest "
                    "checkpoint in the experiment dir")
@@ -523,7 +624,9 @@ def main(argv: Optional[list] = None) -> None:
     g.add_argument("--pred_dir", required=True,
                    help="inference output dir (per-video subdirs of frames)")
     g.add_argument("--out_dir", default="gif_result")
-    g.add_argument("--fps", type=int, default=15)
+    # fps=10 matches the reference's src/utils.gif default used by
+    # test/convert_gif.py
+    g.add_argument("--fps", type=int, default=10)
     g.set_defaults(fn=cmd_gif)
 
     k = sub.add_parser(

@@ -166,9 +166,41 @@ def face_bbox_from_iuv(iuv255: np.ndarray, image_size: int = 256) -> np.ndarray:
     ], np.float32)
 
 
+def sample_frame_indices(
+    T: int, rng: np.random.RandomState, num_inputs: int, num_target: int,
+    fix_frame: bool = True, self_recon: bool = False,
+) -> np.ndarray:
+    """Reference frame sampling with the texture datasets' augmentation
+    branches (``src/data.py:41-63``): layout is [targets..., sources...].
+
+    ``fix_frame=False`` (``data.py:52-56``): with prob 1/3 duplicate source
+    0 into sources 1 AND 2; with prob 1/3 into source 1 only — teaches the
+    accumulator to cope with redundant references.  ``self_recon=True``
+    (``data.py:58-63``): with prob 0.3 overwrite a random one of the first
+    ``num_inputs`` slots (mostly targets) with source 0's frame, making the
+    model reconstruct a seen frame.  The interval/smpl datasets draw the
+    random number but never branch (``data.py:293,483,643``) — these knobs
+    are textonly-loader semantics only, matching the reference."""
+    frames = rng.choice(T, num_inputs + num_target, replace=False)
+    random_number = rng.random_sample()
+    if not fix_frame and num_inputs >= 2:
+        if random_number < 0.33333:
+            if 2 + num_target < frames.size:
+                frames[2 + num_target] = frames[num_target]
+            frames[1 + num_target] = frames[num_target]
+        elif random_number < 0.66666:
+            frames[1 + num_target] = frames[num_target]
+    if self_recon:
+        if rng.random_sample() < 0.3:
+            random_index = rng.choice(num_inputs, 1)
+            frames[random_index] = frames[num_target]
+    return frames
+
+
 def load_textonly_sample(
     data_dir: str, vid_name: str, rng: np.random.RandomState,
     num_inputs: int = 4, num_target: int = 3,
+    fix_frame: bool = True, self_recon: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stage-1/2 sample (reference ``Fusion_dataset_textonly``
     ``src/data.py:187-258``): random disjoint reference+target frames; the
@@ -179,7 +211,8 @@ def load_textonly_sample(
 
     files = list_clip_files(os.path.join(data_dir, vid_name))
     T = len(files["text"])
-    frames = rng.choice(T, num_inputs + num_target, replace=False)
+    frames = sample_frame_indices(T, rng, num_inputs, num_target,
+                                  fix_frame=fix_frame, self_recon=self_recon)
 
     def read_parts(paths, idxs, is_mask):
         arr = np.stack([_imread(p)[..., 0] if is_mask else _imread(p)

@@ -119,6 +119,64 @@ def test_train_stage4_shards_mesh_resume(workdir, capsys):
     assert "resumed from" in out and "Training Done" in out
 
 
+def _tree_equal(a, b):
+    import jax
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return len(leaves_a) == len(leaves_b) and all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(leaves_a, leaves_b))
+
+
+def test_train_init_from_cross_stage_warm_start(workdir, capsys):
+    """The reference's 4-stage curriculum boots each stage from the previous
+    stage's weights (train/2:79-85, train/3:123-129, train/4:120-141).
+    Chain stage 1 -> 2 -> 4 through `--init-from` and assert the seeded
+    module subtrees equal the donor checkpoint's at step 0 while fresh
+    modules (different seed) do not."""
+    from jafpro_tpu.checkpoints import latest_step, restore_checkpoint
+
+    cli.main(["train", "--stage", "1", "--synthetic", "--iters", "2",
+              "-n", "exp_s1", "--batch-size", "2", "--seed", "3"])
+    s1 = restore_checkpoint(os.path.join("checkpoints", "exp_s1"),
+                            latest_step("checkpoints/exp_s1"))["params"]
+
+    # stage 2 seeds accu only; different seed so fresh modules must differ
+    cli.main(["train", "--stage", "2", "--synthetic", "--iters", "0",
+              "-n", "exp_s2", "--batch-size", "2", "--seed", "7",
+              "--init-from", "exp_s1"])
+    out = capsys.readouterr().out
+    assert "warm start: {accu}" in out
+    s2 = restore_checkpoint("checkpoints/exp_s2", 0)["params"]
+    assert _tree_equal(s2["accu"], s1["accu"])
+    assert not _tree_equal(s2["inpaint"], s1["inpaint"])
+
+    # stage 4 seeds accu+inpaint+bg+refine from the stage-2 checkpoint
+    # (explicit :step form)
+    cli.main(["train", "--stage", "4", "--synthetic", "--iters", "0",
+              "-n", "exp_s4", "--batch-size", "2", "--seed", "11",
+              "--init-from", "exp_s2:0"])
+    out = capsys.readouterr().out
+    assert "warm start: {accu,inpaint,bg,refine}" in out
+    s4 = restore_checkpoint("checkpoints/exp_s4", 0)["params"]
+    for m in ("accu", "inpaint", "bg", "refine"):
+        assert _tree_equal(s4[m], s2[m]), m
+    assert _tree_equal(s4["accu"], s1["accu"])  # provenance through the chain
+    assert not _tree_equal(s4["pro"], s2["pro"])
+
+    # warm-started training actually steps (stage 2, 1 iter)
+    cli.main(["train", "--stage", "2", "--synthetic", "--iters", "1",
+              "-n", "exp_s2b", "--batch-size", "2", "--seed", "7",
+              "--init-from", "exp_s1"])
+    out = capsys.readouterr().out
+    assert "Training Done" in out
+
+    # stage 1 refuses --init-from (trains from scratch in the reference)
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--stage", "1", "--synthetic", "--iters", "0",
+                  "-n", "exp_bad", "--init-from", "exp_s1"])
+
+
 def test_evaluate_cli_emits_all_six_metrics(workdir, capsys):
     """The evaluate CLI must emit the reference's full metric set
     (video_evaluation.py:184-246): ssim, ms_ssim, psnr, l1, vgg, flow_l1."""

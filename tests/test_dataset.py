@@ -163,3 +163,80 @@ def test_pack_dancevideo_roundtrip(dance_root, tmp_path):
     assert b["tgt_verts"].shape == (2, 1, 32, 3)
     assert np.isfinite(b["src_parts"]).all()
     r.close()
+
+
+def test_sample_frame_indices_reference_branches():
+    """fix_frame=False / self_recon=True must change sampled frames exactly
+    the way the reference's branches do (``src/data.py:41-63``)."""
+    from jafpro_tpu.data.dataset import sample_frame_indices
+
+    T, num_inputs, num_target = 40, 4, 3
+
+    # default mode: all indices distinct, no augmentation
+    rng = np.random.RandomState(0)
+    f = sample_frame_indices(T, rng, num_inputs, num_target)
+    assert len(set(f.tolist())) == f.size
+
+    # fix_frame=False: replicate the reference's exact branch with a
+    # same-seeded rng consuming the same call sequence (choice, then one
+    # random_sample)
+    dup_both = dup_one = none = 0
+    for seed in range(300):
+        ref_rng = np.random.RandomState(seed)
+        base = ref_rng.choice(T, num_inputs + num_target, replace=False)
+        r = ref_rng.random_sample()
+        expect = base.copy()
+        if r < 0.33333:
+            expect[1 + num_target] = expect[num_target]
+            expect[2 + num_target] = expect[num_target]
+            dup_both += 1
+        elif r < 0.66666:
+            expect[1 + num_target] = expect[num_target]
+            dup_one += 1
+        else:
+            none += 1
+        got = sample_frame_indices(
+            T, np.random.RandomState(seed), num_inputs, num_target,
+            fix_frame=False)
+        assert np.array_equal(got, expect), seed
+    # all three branches exercised at roughly 1/3 each
+    assert min(dup_both, dup_one, none) > 60
+
+    # self_recon=True: with prob 0.3 one of the first num_inputs slots is
+    # overwritten with source 0's frame (the fix_frame draw still happens
+    # first — same stream as the implementation)
+    hits = 0
+    for seed in range(300):
+        ref_rng = np.random.RandomState(seed)
+        base = ref_rng.choice(T, num_inputs + num_target, replace=False)
+        ref_rng.random_sample()  # the (unused) fix_frame draw
+        expect = base.copy()
+        if ref_rng.random_sample() < 0.3:
+            idx = ref_rng.choice(num_inputs, 1)
+            expect[idx] = expect[num_target]
+            hits += 1
+        got = sample_frame_indices(
+            T, np.random.RandomState(seed), num_inputs, num_target,
+            self_recon=True)
+        assert np.array_equal(got, expect), seed
+    assert 50 < hits < 130  # ~30% of 300
+
+
+def test_load_textonly_sample_respects_sampling_flags(dance_root):
+    """The loader must thread fix_frame/self_recon into the index sampler:
+    with fix_frame=False and a seed hitting the duplicate-both branch, the
+    first three reference parts stacks are identical."""
+    for seed in range(50):
+        probe = np.random.RandomState(seed)
+        probe.choice(T_FRAMES, 4 + 2, replace=False)
+        if probe.random_sample() < 0.33333:
+            break
+    else:
+        pytest.skip("no seed hit the duplicate branch")
+    s = load_textonly_sample(
+        os.path.join(dance_root, "data", "test"), "vid_001",
+        np.random.RandomState(seed), num_inputs=4, num_target=2,
+        fix_frame=False)
+    src = s["src_parts"][0]
+    assert np.array_equal(src[0], src[1])
+    assert np.array_equal(src[0], src[2])
