@@ -148,12 +148,22 @@ def main():
         np.asarray(o["final"])
         return time.perf_counter() - t0
 
+    # N in-process repeats: cross-session tunnel variance is ~25%
+    # (TUNING.md), so a single sample produces README/driver disagreements.
+    # The canonical value is the MEDIAN of the repeats; spread_pct
+    # (max-min)/median documents the in-session noise floor.
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
-    t1 = run(1)
-    tn = run(1 + n_iters)
-    dt = max((tn - t1) / n_iters, 1e-9)
-
-    fps = T * n_clips / dt
+    n_repeats = max(int(os.environ.get("BENCH_REPEATS", "3")), 1)
+    samples = []
+    for _ in range(n_repeats):
+        t1 = run(1)
+        tn = run(1 + n_iters)
+        dt = max((tn - t1) / n_iters, 1e-9)
+        samples.append(T * n_clips / dt)
+    samples.sort()
+    fps = samples[len(samples) // 2] if n_repeats % 2 else \
+        0.5 * (samples[len(samples) // 2 - 1] + samples[len(samples) // 2])
+    spread = (samples[-1] - samples[0]) / fps if fps > 0 else 0.0
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
@@ -166,6 +176,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
+        "repeats": [round(s, 2) for s in samples],
+        "spread_pct": round(100 * spread, 1),
     }))
 
 

@@ -70,11 +70,13 @@ def main():
         except Exception:
             baseline = None
     ips = 1.0 / dt
+    # vs_baseline is null when no baseline was loaded (absent file or B != 4)
+    # so consumers can tell "no baseline" from a measured 1.0x
     print(json.dumps({
         "metric": f"stage4_train_iters_per_sec_batch{B}_256px",
         "value": round(ips, 4),
         "unit": "iters/s",
-        "vs_baseline": round(ips / baseline, 3) if baseline else 1.0,
+        "vs_baseline": round(ips / baseline, 3) if baseline else None,
     }))
 
 

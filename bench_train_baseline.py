@@ -246,9 +246,12 @@ def main():
         "iter_seconds": round(dt, 2),
         "notes": "reference torch modules composed per train/4.convLSTM_"
                  f"flowpro_interval.py:202-413 with random weights on "
-                 f"bench_train.py's shapes (batch {B}, 4 refs); CUDA "
-                 "rasterizer excluded (precomputed fim/wim) — favors this "
-                 "baseline, so vs_baseline is a lower bound",
+                 f"bench_train.py's shapes (batch {B}, 4 refs). The "
+                 "rasterizer-excluded (precomputed fim/wim) scoping favors "
+                 "this baseline, so that exclusion alone makes vs_baseline "
+                 "conservative; the ratio itself is CPU-vs-TPU "
+                 "hardware-confounded (torch CUDA is not runnable here) and "
+                 "must not be read as a framework-vs-framework speedup",
     }
     if B == 4:  # only the reference's batch-4 config is the baseline
         with open("BENCH_TRAIN_BASELINE.json", "w") as f:
