@@ -1,0 +1,133 @@
+"""Quality-at-speed record: run the reference's 4-stage curriculum on the
+deterministic learnable fixture (tools/make_fixture.py) and record
+before/after metrics from `cli infer` + the evaluate metric stack.
+
+This is the honest stand-in for DanceVideo quality parity — the real
+dataset cannot be hosted in this environment (reference acceptance:
+``test/video_evaluation.py:184-246``).  The chain exercises the round-3
+`--init-from` warm start exactly as the reference does
+(train/2:79-85, train/3:123-129, train/4:120-141):
+
+    stage 1 (scratch) -> stage 2 (accu) -> stage 3 (accu+inpaint)
+        -> stage 4 (accu+inpaint+bg+refine)
+
+Usage (from a scratch workdir; TPU by default):
+    python tools/quality_run.py --fixture /tmp/jafpro_fixture \
+        --iters1 200 --iters2 150 --iters3 150 --iters4 200 --batch 2
+
+Writes QUALITY.json + per-phase frame dirs under the cwd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evaluate_dirs(pred_root: str, gt_root: str) -> dict:
+    import cv2
+
+    from jafpro_tpu.evaluate import evaluate_video
+
+    def read_frames(d):
+        names = sorted(n for n in os.listdir(d)
+                       if n.endswith((".jpg", ".png"))
+                       and not n.startswith(("mask_", "coarse_", "tsf_")))
+        return np.stack([cv2.imread(os.path.join(d, n)) for n in names])
+
+    results = []
+    for vid in sorted(os.listdir(pred_root)):
+        pd, gd = os.path.join(pred_root, vid), os.path.join(gt_root, vid)
+        if not (os.path.isdir(pd) and os.path.isdir(gd)):
+            continue
+        m = evaluate_video(read_frames(pd), read_frames(gd))
+        results.append(m)
+        print(vid, {k: round(v, 4) for k, v in m.items()}, flush=True)
+    return {k: float(np.mean([r[k] for r in results])) for k in results[0]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture", required=True)
+    ap.add_argument("--iters1", type=int, default=200)
+    ap.add_argument("--iters2", type=int, default=150)
+    ap.add_argument("--iters3", type=int, default=150)
+    ap.add_argument("--iters4", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--num-refs", type=int, default=4)
+    ap.add_argument("--samples-per-video", type=int, default=24)
+    ap.add_argument("--out", default="QUALITY.json")
+    a = ap.parse_args()
+
+    os.environ["JAFPRO_DATA_ROOT"] = os.path.join(a.fixture, "data")
+    os.environ["JAFPRO_SMPL_ROOT"] = os.path.join(a.fixture, "smpl")
+    os.environ["JAFPRO_MASK_ROOT"] = os.path.join(a.fixture, "mask")
+
+    from jafpro_tpu import cli
+
+    # 1. pack shards once (native reader keeps per-iter host cost ~0)
+    shards = {"textonly": "shards_textonly", "interval": "shards_interval"}
+    for kind, d in shards.items():
+        if not os.path.isdir(d):
+            cli.main(["pack", "--out", d, "--mode", "train", "--kind", kind,
+                      "--samples_per_video", str(a.samples_per_video),
+                      "--num_refs", str(a.num_refs)])
+
+    # 2. clean gt copy (fixture dirs also hold IUV/text/mask pngs)
+    gt_root = "gt_frames"
+    if not os.path.isdir(gt_root):
+        data_test = os.path.join(a.fixture, "data", "test")
+        for vid in sorted(os.listdir(data_test)):
+            os.makedirs(os.path.join(gt_root, vid), exist_ok=True)
+            for n in sorted(os.listdir(os.path.join(data_test, vid))):
+                if n.endswith(".jpg") and "_" not in n[6:]:
+                    shutil.copy(os.path.join(data_test, vid, n),
+                                os.path.join(gt_root, vid, n))
+
+    record = {"config": vars(a)}
+
+    # 3. BEFORE: random-init params through the same infer path
+    print("=== infer (random init) ===", flush=True)
+    cli.main(["infer", "-e", "q_none", "-n", str(a.num_refs)])
+    shutil.move("test_results/q_none", "pred_before")
+    record["before"] = evaluate_dirs("pred_before", gt_root)
+    print("before:", record["before"], flush=True)
+
+    # 4. the 4-stage curriculum with cross-stage warm starts
+    stages = [
+        (1, a.iters1, []),
+        (2, a.iters2, ["--init-from", "q_s1"]),
+        (3, a.iters3, ["--init-from", "q_s2"]),
+        (4, a.iters4, ["--init-from", "q_s3"]),
+    ]
+    for stage, iters, extra in stages:
+        shard_dir = shards["textonly" if stage <= 2 else "interval"]
+        print(f"=== train stage {stage} ({iters} iters) ===", flush=True)
+        cli.main(["train", "--stage", str(stage), "-n", f"q_s{stage}",
+                  "--iters", str(iters), "--batch-size", str(a.batch),
+                  "--shards", shard_dir, *extra])
+
+    # 5. AFTER: the trained stage-4 experiment
+    print("=== infer (trained) ===", flush=True)
+    cli.main(["infer", "-e", "q_s4", "-n", str(a.num_refs)])
+    shutil.move("test_results/q_s4", "pred_after")
+    record["after"] = evaluate_dirs("pred_after", gt_root)
+    print("after:", record["after"], flush=True)
+
+    for k in record["after"]:
+        b, t = record["before"][k], record["after"][k]
+        print(f"{k}: {b:.4f} -> {t:.4f}")
+    with open(a.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()
