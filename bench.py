@@ -76,11 +76,15 @@ def setup(T=30, R=4, S=256, p=200):
         engine = dataclasses.replace(
             engine,
             depth_range_checked=bool(int(os.environ["BENCH_RANGE_CHECKED"])))
+    if "BENCH_CROP_COLS" in os.environ:  # A/B override: 0 = full width
+        engine = dataclasses.replace(
+            engine, crop_cols=int(os.environ["BENCH_CROP_COLS"]))
     import sys
     print(f"bench config: band_rows={engine.band_rows} "
           f"band_capacity={engine.band_capacity} "
           f"bin={engine.bin_impl}/{engine.bin_span} "
-          f"rangechk={int(engine.depth_range_checked)}", file=sys.stderr)
+          f"rangechk={int(engine.depth_range_checked)} "
+          f"crop_cols={engine.crop_cols}", file=sys.stderr)
     pipe = JAFProPipeline(cfg, flow_engine=engine)
     params = pipe.init_params(jax.random.PRNGKey(0))
     clip = {

@@ -8,11 +8,12 @@ and prints one labeled JSON line per config.
 Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   (each arg is
   BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[
-  :DEPTH_MODE[:PART_CONV[:BIN_IMPL[:RANGE_CHECKED]]]]]]];
+  :DEPTH_MODE[:PART_CONV[:BIN_IMPL[:RANGE_CHECKED[:CROP_COLS]]]]]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
-  DEPTH_MODE to fused, PART_CONV to blocks8; BIN_IMPL/RANGE_CHECKED default
-  to whatever adapt_to_clip selects — pass sort/copysort and 0/1 to pin).
+  DEPTH_MODE to fused, PART_CONV to blocks8; BIN_IMPL/RANGE_CHECKED/
+  CROP_COLS default to whatever adapt_to_clip selects — pass sort/copysort,
+  0/1, and a width (0 = full) to pin).
 """
 
 import json
@@ -36,6 +37,7 @@ def main():
         pconv = parts[7] if len(parts) > 7 else "blocks8"
         bin_impl = parts[8] if len(parts) > 8 else ""
         rangechk = parts[9] if len(parts) > 9 else ""
+        crop = parts[10] if len(parts) > 10 else ""
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode
@@ -45,14 +47,16 @@ def main():
         os.environ["BENCH_DEPTH_MODE"] = depth
         os.environ["BENCH_PART_CONV"] = pconv
         for key, val in (("BENCH_BIN_IMPL", bin_impl),
-                         ("BENCH_RANGE_CHECKED", rangechk)):
+                         ("BENCH_RANGE_CHECKED", rangechk),
+                         ("BENCH_CROP_COLS", crop)):
             if val:
                 os.environ[key] = val
             else:
                 os.environ.pop(key, None)
         print(f"=== config cap={cap} fb={fb} raster={mode} rows={rows} "
               f"flow={flow} warp={warp} depth={depth} pconv={pconv} "
-              f"bin={bin_impl or 'adapt'} rangechk={rangechk or 'adapt'} ===",
+              f"bin={bin_impl or 'adapt'} rangechk={rangechk or 'adapt'} "
+              f"crop={crop or 'adapt'} ===",
               file=sys.stderr)
         t0 = time.time()
         bench.main()

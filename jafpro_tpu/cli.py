@@ -203,8 +203,8 @@ def _adapt_train_engine(pipe, cfg, stage: int, synthetic: bool,
         np.concatenate(cams), np.concatenate(verts))
     if engine is pipe.flow_engine:
         return pipe
-    print(f"band capacity (train split, measured): rows={engine.band_rows} "
-          f"cap={engine.band_capacity}")
+    print(f"raster buckets (train split, measured): rows={engine.band_rows} "
+          f"cap={engine.band_capacity} crop_cols={engine.crop_cols}")
     return JAFProPipeline(cfg, flow_engine=engine)
 
 
@@ -335,7 +335,10 @@ def cmd_infer(args) -> None:
         return base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
 
     def gen_for_engine(eng):
-        key = (eng.band_rows, eng.band_capacity)
+        # every adapt_to_clip-selected field must key the cache: clips in
+        # the same capacity bucket can differ in crop window / bin form
+        key = (eng.band_rows, eng.band_capacity, eng.bin_impl,
+               eng.bin_span, eng.crop_cols)
         if key not in _gens:
             p = pipe if eng is base_engine else \
                 JAFProPipeline(cfg, flow_engine=eng)
@@ -398,12 +401,11 @@ def cmd_infer(args) -> None:
 
         def compute_group(group, loaded):
             clips_np, engines = loaded
-            # one program per group: the most conservative clip's bucket
-            # (dense beats any capacity) keeps every clip exact
-            group_gens = [gen_for_engine(e) for e in engines]
-            gen = min(group_gens,
-                      key=lambda g: (g.pipe.flow_engine.band_rows or -1,
-                                     -g.pipe.flow_engine.band_capacity))
+            # one program per group: merge the clips' adapted engines
+            # field-by-field into one exact for every clip (clip A can
+            # bind the capacity while clip B binds the crop window)
+            from jafpro_tpu.geometry.flow import SMPLFlowEngine
+            gen = gen_for_engine(SMPLFlowEngine.merge_conservative(engines))
             clips = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[to_device(c) for c in clips_np])
             return gen.generate_batch(params, clips, mesh=mesh)

@@ -94,6 +94,14 @@ class SMPLFlowEngine:
     # otherwise.
     bin_impl: str = "auto"
     bin_span: int = 2
+    # Column-window cropping (banded XLA path): 0 = full width; > 0 races
+    # only a crop_cols-wide window positioned per frame from the
+    # front-face x extents (static width, traced offset — see
+    # ``rasterizer.select_crop_cols``).  ``adapt_to_clip`` selects the
+    # measured-exact bucket: capacity culls the face side of the
+    # (pixels x faces) race, the crop culls the pixel side (a person
+    # covers a fraction of the frame width).
+    crop_cols: int = 0
     # Skip the fused race's per-(pixel, face) near/far compares + clamp;
     # ONLY set by ``adapt_to_clip`` after host-verifying every vertex
     # depth of the clip lies strictly inside (near, far).
@@ -128,7 +136,7 @@ class SMPLFlowEngine:
             return self
         from jafpro_tpu.geometry.projection import project_to_view_np
         from jafpro_tpu.geometry.rasterizer import (
-            select_band_capacity, select_bin_span)
+            select_band_capacity, select_bin_span, select_crop_cols)
 
         view = project_to_view_np(np.asarray(vertices, np.float32),
                                   np.asarray(cams, np.float32),
@@ -150,7 +158,34 @@ class SMPLFlowEngine:
             eng = dataclasses.replace(
                 eng, bin_impl="copysort" if span else "sort",
                 bin_span=span or eng.bin_span)
+        eng = dataclasses.replace(
+            eng, crop_cols=select_crop_cols(fv, self.image_size))
         return eng
+
+    @staticmethod
+    def merge_conservative(engines: list) -> "SMPLFlowEngine":
+        """Combine per-clip adapted engines into one that is exact for
+        EVERY clip (batch serving renders a group with one program).
+
+        Each adapt-selected field must be merged independently — picking
+        the single most conservative *engine* is wrong (clip A can bind
+        the capacity while clip B binds the crop window): dense beats any
+        banding, larger capacity beats smaller, full width (crop 0) beats
+        any window, larger window beats smaller, row-sort beats copysort,
+        larger span beats smaller, and the range-check skip is only sound
+        when every clip verified it."""
+        if any(e.band_rows == 0 for e in engines):
+            return dataclasses.replace(engines[0], band_rows=0)
+        return dataclasses.replace(
+            engines[0],
+            band_capacity=max(e.band_capacity for e in engines),
+            bin_impl=("sort" if any(e.bin_impl != "copysort"
+                                    for e in engines) else "copysort"),
+            bin_span=max(e.bin_span for e in engines),
+            crop_cols=(0 if any(e.crop_cols == 0 for e in engines)
+                       else max(e.crop_cols for e in engines)),
+            depth_range_checked=all(e.depth_range_checked for e in engines),
+        )
 
     def _use_pallas(self) -> bool:
         # "auto" currently resolves to the blocked-XLA kernel: on the
@@ -201,6 +236,7 @@ class SMPLFlowEngine:
                           else self.bin_impl),
                 bin_span=self.bin_span,
                 depth_range_checked=self.depth_range_checked,
+                crop_cols=self.crop_cols,
             )
         return fv, fim, wim
 

@@ -188,7 +188,7 @@ def _rasterize_single(
     fv: jnp.ndarray, image_size: int, near: float, far: float, chunk: int,
     band_rows: int = 0, band_capacity: int = 4096, depth_mode: str = "exact",
     bin_impl: str = "sort", bin_span: int = 2,
-    depth_range_checked: bool = False,
+    depth_range_checked: bool = False, crop_cols: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fv: (F, 3, 3) view-space triangles -> (fim (S,S) int32, wim (S,S,3)).
 
@@ -198,7 +198,20 @@ def _rasterize_single(
     for the SMPL mesh this cuts the (pixels x faces) work ~3-7x with bitwise
     identical output (faces are excluded only when no pixel center of the
     band can lie inside them; SMPL triangles are far smaller than a band,
-    so per-band face counts sit well under the default capacity)."""
+    so per-band face counts sit well under the default capacity).
+
+    ``0 < crop_cols < S`` (banded path only) restricts the z-buffer race to
+    a ``crop_cols``-wide column window positioned per frame from the
+    front-face pixel-x extents (a traced offset — only the WIDTH is a
+    static compile parameter), scattering the result back into the full
+    (S, S) canvas.  Band capacity culls the FACE side of the (pixels x
+    faces) race; the column crop culls the PIXEL side, which capacity can
+    never reach: a person occupies a fraction of the frame width (the
+    bench clip: 76/256 columns), and every pixel outside the mesh's x
+    extent races all ``band_capacity`` faces just to write background.
+    Exact whenever every frame's front-face x extent fits the window —
+    ``select_crop_cols`` validates a width per clip the same way
+    ``select_band_capacity`` validates capacity."""
     S = image_size
     F = fv.shape[0]
     dtype = fv.dtype
@@ -347,9 +360,24 @@ def _rasterize_single(
             valid = jnp.pad(valid, ((0, 0), (0, pad)), constant_values=False)
             safe = jnp.pad(safe, ((0, 0), (0, pad)))
 
-        Pb = band_rows * S
-        yi_b = jnp.repeat(jnp.arange(band_rows, dtype=dtype), S)  # (Pb,)
-        xi_b = jnp.tile(jnp.arange(S, dtype=dtype), band_rows)
+        # column-crop window: static width, per-frame traced offset from
+        # the front-face pixel-x extents (same p coords the inside tests
+        # use).  -1 margin + select_crop_cols' +3 width margin keep a
+        # rounding-marginal edge pixel from ever falling outside the
+        # window (the affine edge tests differ from the exact cross
+        # products only at ~1e-6-relative edge distances).
+        W = crop_cols if 0 < crop_cols < S else S
+        if W < S:
+            px = p[:, :, 0]  # (F, 3) pixel-space x
+            okf = front & jnp.all(jnp.isfinite(px), axis=1)
+            px_min = jnp.min(jnp.where(okf[:, None], px, jnp.inf))
+            col0 = jnp.clip(jnp.floor(px_min) - 1, 0, S - W).astype(jnp.int32)
+            col0f = col0.astype(dtype)
+        else:
+            col0, col0f = None, jnp.asarray(0.0, dtype)
+        Pb = band_rows * W
+        yi_b = jnp.repeat(jnp.arange(band_rows, dtype=dtype), W)  # (Pb,)
+        xi_b = col0f + jnp.tile(jnp.arange(W, dtype=dtype), band_rows)
 
         def one_band(xb, yb, depth_b, vb, idb, row0):
             yi = yi_b + row0
@@ -378,11 +406,12 @@ def _rasterize_single(
             out = jax.lax.map(
                 lambda t: one_band(*t),
                 (xg, yg, depth_g, valid, safe, r0))       # 2 x (nb, Pb)
-        out = tuple(a.reshape(S * S) for a in out)
-        P = S * S
-        yi = jnp.repeat(jnp.arange(S, dtype=dtype), S)
-        xi = jnp.tile(jnp.arange(S, dtype=dtype), S)
+        out = tuple(a.reshape(S * W) for a in out)
+        P = S * W
+        yi = jnp.repeat(jnp.arange(S, dtype=dtype), W)
+        xi = col0f + jnp.tile(jnp.arange(W, dtype=dtype), S)
     else:
+        W, col0 = S, None
         # dense path: every pixel tests every face chunk
         n_chunks = -(-F // chunk)
         pad = n_chunks * chunk - F
@@ -454,9 +483,18 @@ def _rasterize_single(
     w = w / jnp.sum(w, axis=1, keepdims=True)
     w = jnp.where(found[:, None], w, 0.0)
 
-    fim = jnp.where(found, idx_min, -1).reshape(S, S)
-    wim = w.reshape(S, S, 3)
-    dim = jnp.where(found, depth_min, 0.0).reshape(S, S)
+    fim = jnp.where(found, idx_min, -1).reshape(S, W)
+    wim = w.reshape(S, W, 3)
+    dim = jnp.where(found, depth_min, 0.0).reshape(S, W)
+    if W < S:
+        # scatter the cropped window back into the full background canvas
+        fim = jax.lax.dynamic_update_slice(
+            jnp.full((S, S), -1, fim.dtype), fim, (jnp.int32(0), col0))
+        wim = jax.lax.dynamic_update_slice(
+            jnp.zeros((S, S, 3), wim.dtype), wim,
+            (jnp.int32(0), col0, jnp.int32(0)))
+        dim = jax.lax.dynamic_update_slice(
+            jnp.zeros((S, S), dim.dtype), dim, (jnp.int32(0), col0))
     return fim, wim, dim
 
 
@@ -509,6 +547,45 @@ def select_band_capacity(
     return 0
 
 
+CROP_COLS_BUCKETS = (64, 96, 128, 160, 192, 224)
+
+
+def select_crop_cols(
+    face_verts: np.ndarray, image_size: int = 256,
+    buckets: tuple = CROP_COLS_BUCKETS,
+) -> int:
+    """Smallest column-window bucket covering every frame's front-face
+    pixel-x extent for ``crop_cols`` cropping, or 0 when no bucket fits
+    (caller rasterizes full-width).
+
+    Mirrors the device's window placement bitwise: the same f32
+    ``p = 0.5*(x*S + S - 1)`` pixel coords and the same ``floor(px_min)-1``
+    left edge, so a selected width *guarantees* the cropped output equals
+    the full-width output — a face can only cover integer pixel centers
+    inside its [px_min, px_max] extent, and the +3 margin (1 left, 2
+    right) absorbs the fused edge tests' ~1e-6-relative rounding at
+    window-boundary pixels."""
+    fv = np.asarray(face_verts, np.float32)
+    x, y = fv[..., 0], fv[..., 1]
+    front = (y[..., 2] - y[..., 0]) * (x[..., 1] - x[..., 0]) >= (
+        (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0]))
+    S = image_size
+    px = (0.5 * (x * S + S - 1)).astype(np.float32)  # (B, F, 3)
+    ok = front & np.isfinite(px).all(-1)
+    need = 1
+    for b in range(px.shape[0]):
+        if not ok[b].any():
+            continue
+        pxb = px[b][ok[b]]
+        lo = np.floor(pxb.min())
+        hi = np.floor(pxb.max())
+        need = max(need, int(hi - lo) + 3)
+    for w in sorted(buckets):
+        if need <= w < S:
+            return w
+    return 0
+
+
 BIN_SPAN_BUCKETS = (2, 3, 4, 6, 8, 12, 16)
 
 
@@ -551,7 +628,7 @@ def select_bin_span(
     jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y",
                               "return_depth", "band_rows", "band_capacity",
                               "depth_mode", "bin_impl", "bin_span",
-                              "depth_range_checked")
+                              "depth_range_checked", "crop_cols")
 )
 def rasterize_fim_wim(
     face_verts: jnp.ndarray,
@@ -567,6 +644,7 @@ def rasterize_fim_wim(
     bin_impl: str = "sort",
     bin_span: int = 2,
     depth_range_checked: bool = False,
+    crop_cols: int = 0,
 ):
     """Rasterize (B, F, 3, 3) view-space triangles into per-pixel
     (face_index_map (B, S, S) int32 [-1 = background],
@@ -615,12 +693,18 @@ def rasterize_fim_wim(
     face) near/far validity compares and the quantizer's upper clamp —
     sound whenever every vertex depth lies strictly inside (near, far),
     which ``SMPLFlowEngine.adapt_to_clip`` verifies on the host per clip.
+
+    ``0 < crop_cols < image_size`` (banded path only) races only a
+    ``crop_cols``-wide column window placed per frame from the front-face
+    x extents, scattered back into the full canvas — exact whenever every
+    frame's extent fits the window (validate per clip with
+    ``select_crop_cols``); see ``_rasterize_single``.
     """
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far,
         chunk=chunk, band_rows=band_rows, band_capacity=band_capacity,
         depth_mode=depth_mode, bin_impl=bin_impl, bin_span=bin_span,
-        depth_range_checked=depth_range_checked,
+        depth_range_checked=depth_range_checked, crop_cols=crop_cols,
     )
     fim, wim, dim = jax.vmap(fn)(face_verts)
     if flip_y:

@@ -246,6 +246,39 @@ def test_select_bin_span_bounds_band_ranges():
         assert bands.max() - bands.min() + 1 <= span
 
 
+@pytest.mark.parametrize("depth_mode", ["exact", "affine", "fused"])
+def test_rasterizer_crop_cols_matches_full(depth_mode):
+    """crop_cols (column-window racing with per-frame traced offset +
+    scatter-back) is bitwise identical to the full-width banded kernel
+    whenever the selected width covers every frame's front-face x extent
+    — including a scene hugging the right image edge (offset clamp)."""
+    from jafpro_tpu.geometry.rasterizer import select_crop_cols
+
+    S, near, far = 32, 0.1, 25.0
+    for seed, xshift in ((1, 0.0), (4, -0.55), (8, 0.62)):
+        fv = random_faces(60, seed=seed)
+        # squeeze into a narrow column band (people do this)
+        fv[:, :, 0] = fv[:, :, 0] * 0.3 + xshift
+        w = select_crop_cols(fv[None], image_size=S, buckets=(8, 12, 16, 24))
+        assert w > 0
+        kw = dict(image_size=S, near=near, far=far, chunk=16, flip_y=False,
+                  band_rows=8, band_capacity=64, depth_mode=depth_mode,
+                  return_depth=True)
+        ref = rasterize_fim_wim(jnp.asarray(fv)[None], **kw)
+        got = rasterize_fim_wim(jnp.asarray(fv)[None], crop_cols=w, **kw)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_select_crop_cols_full_scene_returns_zero():
+    """A scene spanning the full width fits no bucket -> 0 (no crop)."""
+    from jafpro_tpu.geometry.rasterizer import select_crop_cols
+
+    fv = random_faces(60, seed=2)  # centers span [-0.8, 0.8] ~ full width
+    assert select_crop_cols(fv[None], image_size=32,
+                            buckets=(8, 12, 16)) == 0
+
+
 def test_rasterizer_fused_range_checked_matches():
     """depth_range_checked=True drops the per-(pixel, face) near/far
     compares + clamp; with every vertex depth strictly inside (near, far)
@@ -279,6 +312,34 @@ def test_adapt_to_clip_selects_bin_and_range(tmp_path):
     assert adapted.bin_impl == "copysort" and adapted.bin_span >= 1
     assert not adapted.depth_range_checked
     assert adapted.band_capacity >= 1
+
+
+def test_merge_conservative_engines():
+    """Batch serving merges per-clip adapted engines field-by-field: one
+    clip can bind the capacity while another binds the crop window, so
+    picking any single clip's engine would be inexact for the other."""
+    import dataclasses
+
+    from jafpro_tpu.train.common import synthetic_quad_mesh
+
+    _, faces = synthetic_quad_mesh(6)
+    base = SMPLFlowEngine(faces=faces, image_size=32, band_rows=8)
+    a = dataclasses.replace(base, band_capacity=2048, bin_impl="copysort",
+                            bin_span=2, crop_cols=96)
+    b = dataclasses.replace(base, band_capacity=1536, bin_impl="copysort",
+                            bin_span=3, crop_cols=128)
+    m = SMPLFlowEngine.merge_conservative([a, b])
+    assert (m.band_capacity, m.bin_span, m.crop_cols) == (2048, 3, 128)
+    assert m.bin_impl == "copysort"
+    # a clip that fit no crop bucket (0 = full width) forces full width;
+    # a clip that fell back to the row sort forces the row sort
+    c = dataclasses.replace(base, band_capacity=512, bin_impl="sort",
+                            crop_cols=0)
+    m = SMPLFlowEngine.merge_conservative([a, b, c])
+    assert (m.band_capacity, m.crop_cols, m.bin_impl) == (2048, 0, "sort")
+    # any dense clip forces the dense path
+    d = dataclasses.replace(base, band_rows=0)
+    assert SMPLFlowEngine.merge_conservative([a, d]).band_rows == 0
 
 
 def test_torch_params_orbax_roundtrip(tmp_path):

@@ -188,6 +188,40 @@ def test_video_generator_ablations(setup):
             assert np.isfinite(np.asarray(out[k])).all(), (name, k)
 
 
+def test_video_generator_crop_invariance(setup):
+    """A column-cropped engine (adapt_to_clip-selected width) produces the
+    same video as the full-width engine when the clip's x extent fits the
+    window — the whole-generator check on top of the kernel-level
+    bitwise test (test_geometry.test_rasterizer_crop_cols_matches_full)."""
+    import dataclasses
+
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    # squeeze the mesh into a narrow column band so a crop bucket fits
+    clip = dict(clip)
+    clip["verts"] = clip["verts"] * jnp.asarray([0.35, 1.0, 1.0]) + \
+        jnp.asarray([0.1, 0.0, 0.0])
+    from jafpro_tpu.geometry.projection import project_to_view_np
+    from jafpro_tpu.geometry.rasterizer import select_crop_cols
+
+    view = project_to_view_np(np.asarray(clip["verts"], np.float32),
+                              np.asarray(clip["cams"], np.float32),
+                              pipe.flow_engine.viewing_angle)
+    w = select_crop_cols(view[:, pipe.flow_engine.faces], image_size=64,
+                         buckets=(16, 24, 32, 48))
+    assert w > 0
+    eng = dataclasses.replace(pipe.flow_engine, band_rows=8,
+                              band_capacity=4096)
+    ref = VideoGenerator(JAFProPipeline(pipe.cfg, flow_engine=eng))(
+        params, clip)
+    cropped = VideoGenerator(JAFProPipeline(
+        pipe.cfg,
+        flow_engine=dataclasses.replace(eng, crop_cols=w)))(params, clip)
+    for k in ("final", "mask", "tsf"):
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(cropped[k]))
+
+
 def test_video_generator_warp_mode_invariance(setup):
     """warp_mode='lut' (per-clip integer-UV table + 1-tap gather) must match
     warp_mode='gather' (4-tap atlas gather) on integer IUV data."""

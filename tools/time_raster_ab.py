@@ -57,8 +57,12 @@ def main():
         faces=faces, image_size=S, band_rows=16, depth_mode="fused")
 
     arms = {}
-    # production: banded XLA with per-clip measured-exact capacity
+    # production: banded XLA with per-clip measured-exact capacity (+ the
+    # round-3 column-crop window, which adapt_to_clip now selects)
     arms["xla_banded_prod"] = base_eng.adapt_to_clip(cams, verts)
+    # same without the column crop (the round-2 production config)
+    arms["xla_banded_nocrop"] = dataclasses.replace(
+        arms["xla_banded_prod"], crop_cols=0)
     # dense XLA (band_rows=0)
     arms["xla_dense"] = dataclasses.replace(base_eng, band_rows=0)
     # pallas configs (block is min(chunk, 256) on the engine path; vary via
@@ -101,12 +105,16 @@ def main():
             "fg_px_per_frame": fg_px,
             "config": {"band_rows": eng.band_rows,
                        "band_capacity": eng.band_capacity,
-                       "bin_impl": eng.bin_impl,
+                       "bin_impl": eng.bin_impl, "crop_cols": eng.crop_cols,
                        "backend": eng.backend, "chunk": eng.chunk},
             "samples_ms_per_frame": [round(1000 * s / T, 3) for s in samples],
         }
         print(f"{name}: {record['arms'][name]['ms_per_frame']} ms/frame "
               f"(compile {compile_s:.0f}s, fg_px {fg_px})", flush=True)
+        # incremental dump: a hung/killed later arm (Mosaic remote compile
+        # has exceeded 45 min before) must not lose the finished arms
+        with open(a.out, "w") as f:
+            json.dump(record, f, indent=1)
 
     # cross-arm correctness: every arm must produce the same fim
     ref = None
