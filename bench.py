@@ -27,6 +27,10 @@ def setup(T=30, R=4, S=256, p=200):
     import jax
     import jax.numpy as jnp
 
+    from jafpro_tpu.utils.xla_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from jafpro_tpu.config import Config, default_smpl_faces_path
     from jafpro_tpu.geometry.flow import SMPLFlowEngine
     from jafpro_tpu.pipeline import JAFProPipeline

@@ -41,13 +41,37 @@ def main():
     engine = SMPLFlowEngine.create(
         faces=faces, image_size=cfg.image_size,
         chunk=cfg.rasterizer_face_chunk)
-    pipe = JAFProPipeline(cfg, flow_engine=engine)
-    params = pipe.init_params(jax.random.PRNGKey(0))
-    state = TrainState.create(params, stage4_lrs())
 
     rng = np.random.RandomState(0)
     b = synthetic_batch(rng, batch=B, num_refs=4, part_size=cfg.part_size,
                         image_size=cfg.image_size, num_verts=num_verts)
+    if path is not None:
+        # body-proportioned topology vertices (same construction as
+        # bench.py): independent random vertices are not a representative
+        # raster workload, and the production CLI trainer adapts the
+        # engine to the train split's measured occupancy/crop the same
+        # way (cli._adapt_train_engine)
+        from jafpro_tpu.utils.meshproxy import smoothed_topology_vertices
+
+        base = smoothed_topology_vertices(faces)
+        for k in ("prev_verts", "tgt_verts"):
+            b[k] = (base[None] + rng.normal(scale=0.01, size=(B, 1, 3))
+                    ).astype(np.float32)
+            b[k][..., 2] += 2.0
+        if os.environ.get("BENCH_TRAIN_ADAPT", "1") == "1":
+            # include_crop matches cli._adapt_train_engine (off for training:
+            # no measured it/s change, ~15x slower compile; TUNING.md round 3)
+            engine = engine.adapt_to_clip(
+                np.concatenate([b["prev_cam"], b["tgt_cam"]]),
+                np.concatenate([b["prev_verts"], b["tgt_verts"]]),
+                include_crop=os.environ.get("BENCH_TRAIN_CROP", "0") == "1")
+            print(f"bench_train engine: rows={engine.band_rows} "
+                  f"cap={engine.band_capacity} bin={engine.bin_impl} "
+                  f"crop_cols={engine.crop_cols}")
+    pipe = JAFProPipeline(cfg, flow_engine=engine)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    state = TrainState.create(params, stage4_lrs())
+
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
     step = jax.jit(make_stage4_step(pipe), donate_argnums=(0,))

@@ -199,8 +199,11 @@ def _adapt_train_engine(pipe, cfg, stage: int, synthetic: bool,
         cams.append(c[: len(v)])
     if not verts:
         return pipe
+    # include_crop=False: the training step is conv/backward-dominated, the
+    # column crop measured no it/s change, and the cropped kernel's compile
+    # is ~15x slower (TUNING.md round 3) — pay it only where it wins (infer)
     engine = pipe.flow_engine.adapt_to_clip(
-        np.concatenate(cams), np.concatenate(verts))
+        np.concatenate(cams), np.concatenate(verts), include_crop=False)
     if engine is pipe.flow_engine:
         return pipe
     print(f"raster buckets (train split, measured): rows={engine.band_rows} "
@@ -577,6 +580,9 @@ def cmd_pack(args) -> None:
 
 
 def main(argv: Optional[list] = None) -> None:
+    from jafpro_tpu.utils.xla_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(prog="jafpro_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

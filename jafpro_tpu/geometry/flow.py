@@ -120,8 +120,8 @@ class SMPLFlowEngine:
             faces = np.load(path).astype(np.int32)
         return cls(faces=np.asarray(faces, np.int32), image_size=image_size, **kw)
 
-    def adapt_to_clip(self, cams: np.ndarray,
-                      vertices: np.ndarray) -> "SMPLFlowEngine":
+    def adapt_to_clip(self, cams: np.ndarray, vertices: np.ndarray,
+                      include_crop: bool = True) -> "SMPLFlowEngine":
         """Return an engine whose band capacity is *measured-exact* for this
         clip's poses: project the clip's SMPL vertices on the host, take the
         max per-band front-face count over all frames, and pick the smallest
@@ -158,8 +158,15 @@ class SMPLFlowEngine:
             eng = dataclasses.replace(
                 eng, bin_impl="copysort" if span else "sort",
                 bin_span=span or eng.bin_span)
-        eng = dataclasses.replace(
-            eng, crop_cols=select_crop_cols(fv, self.image_size))
+        if include_crop:
+            # 26.5% off raster time, bitwise-equal (TUNING.md round 3) — but
+            # the cropped kernel's traced-offset scatter-back compiles ~15x
+            # slower.  Serving amortizes that per width bucket (and via the
+            # persistent XLA cache); training callers pass False: the step
+            # is conv/backward-dominated and measured no throughput change
+            # (0.685 vs 0.68 it/s), so the compile cost buys nothing there.
+            eng = dataclasses.replace(
+                eng, crop_cols=select_crop_cols(fv, self.image_size))
         return eng
 
     @staticmethod

@@ -278,3 +278,25 @@ def test_video_makers(tmp_path):
     out2 = fuse_video([paths, paths], str(tmp_path / "fused.mp4"), 1, 2,
                       fps=4)
     assert os.path.getsize(out2) > 0
+
+
+def test_xla_cache_helper(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points JAX's on-disk cache at a
+    stable dir (so the cropped rasterizer's slow compile is paid per
+    machine, not per process) and honors the JAFPRO_XLA_CACHE=0 opt-out."""
+    import jax
+
+    from jafpro_tpu.utils.xla_cache import enable_persistent_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("JAFPRO_XLA_CACHE", str(tmp_path / "xc"))
+        got = enable_persistent_compilation_cache()
+        assert got == str(tmp_path / "xc")
+        assert jax.config.jax_compilation_cache_dir == got
+        assert os.path.isdir(got)
+
+        monkeypatch.setenv("JAFPRO_XLA_CACHE", "0")
+        assert enable_persistent_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -312,6 +312,13 @@ def test_adapt_to_clip_selects_bin_and_range(tmp_path):
     assert adapted.bin_impl == "copysort" and adapted.bin_span >= 1
     assert not adapted.depth_range_checked
     assert adapted.band_capacity >= 1
+    # include_crop=False (the training path: conv-dominated step, no
+    # measured it/s win, ~15x slower compile — TUNING.md round 3) must
+    # keep full-width rasterization while still binding capacity/binning
+    no_crop = eng.adapt_to_clip(cams, v, include_crop=False)
+    assert no_crop.crop_cols == 0
+    assert (no_crop.band_capacity, no_crop.bin_impl) == (
+        adapted.band_capacity, adapted.bin_impl)
 
 
 def test_merge_conservative_engines():

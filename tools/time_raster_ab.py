@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--out", default="RASTER_AB.json")
+    ap.add_argument("--arms", default="all",
+                    help="comma-separated arm-name substrings to run "
+                         "(e.g. 'xla' to skip the pallas arms, whose Mosaic "
+                         "remote compile has hung >45 min on this runtime)")
     a = ap.parse_args()
 
     import jax
@@ -70,6 +74,11 @@ def main():
     for blk in (256, 512, 1024):
         arms[f"pallas_b{blk}"] = dataclasses.replace(
             base_eng, backend="pallas", chunk=blk)
+
+    if a.arms != "all":
+        keys = [k.strip() for k in a.arms.split(",") if k.strip()]
+        arms = {n: e for n, e in arms.items()
+                if any(k in n for k in keys)}
 
     record = {"frames": T, "image_size": S, "n_faces": int(faces.shape[0]),
               "device": str(jax.devices()[0]), "arms": {}}
