@@ -22,7 +22,9 @@ import numpy as np
 def setup(T=30, R=4, S=256, p=200):
     """Build the bench pipeline/params/clip (shared with bench_breakdown.py).
 
-    Returns (pipe, params, clip, T).
+    Returns (pipe, params, clip, T, warp_cols) — warp_cols is the
+    production-selected texture-warp column window for this clip
+    (VideoGenerator.warp_crop_cols).
     """
     import jax
     import jax.numpy as jnp
@@ -59,6 +61,24 @@ def setup(T=30, R=4, S=256, p=200):
              + rng.normal(scale=0.01, size=(T, 1, 3))).astype(np.float32)
     verts[..., 2] += 2.0
 
+    # Confine the IUV body to the mesh's projected column extents: a real
+    # DensePose part-id map is 0 off the body (the body occupies the same
+    # columns the rasterizer's window covers), while the round-2 full-frame
+    # random part ids described a body 256 columns wide.  This does NOT
+    # change the uncropped timing — the warp gathers once per pixel
+    # regardless of part id — it makes the workload one where the
+    # production warp_crop_cols bucket exists, as it does on real clips.
+    from jafpro_tpu.geometry.projection import project_to_view_np
+
+    view = project_to_view_np(verts, np.tile(
+        np.asarray([[1.0, 0.0, 0.0]], np.float32), (T, 1)), 30.0)
+    px = 0.5 * (view[..., 0] * S + S - 1)
+    lo = max(int(np.floor(px.min())) - 1, 0)
+    hi = min(int(np.ceil(px.max())) + 1, S - 1)
+    body_cols = np.zeros((S,), bool)
+    body_cols[lo:hi + 1] = True
+    iuv[..., 0] *= body_cols[None, None, :]
+
     engine = SMPLFlowEngine.create(
         faces=faces, image_size=S, chunk=cfg.rasterizer_face_chunk,
         band_rows=int(os.environ.get("BENCH_BAND_ROWS", "16")),
@@ -83,12 +103,20 @@ def setup(T=30, R=4, S=256, p=200):
     if "BENCH_CROP_COLS" in os.environ:  # A/B override: 0 = full width
         engine = dataclasses.replace(
             engine, crop_cols=int(os.environ["BENCH_CROP_COLS"]))
+    # production warp window: the host-validated bucket over the clip's
+    # IUV body extent (cli.py's adapt step does the same per clip)
+    from jafpro_tpu.geometry.rasterizer import select_mask_crop_cols
+
+    warp_cols = select_mask_crop_cols(iuv[..., 0] > 0)
+    if "BENCH_WARP_CROP" in os.environ:  # A/B override: 0 = full width
+        warp_cols = int(os.environ["BENCH_WARP_CROP"])
     import sys
     print(f"bench config: band_rows={engine.band_rows} "
           f"band_capacity={engine.band_capacity} "
           f"bin={engine.bin_impl}/{engine.bin_span} "
           f"rangechk={int(engine.depth_range_checked)} "
-          f"crop_cols={engine.crop_cols}", file=sys.stderr)
+          f"crop_cols={engine.crop_cols} warp_crop={warp_cols}",
+          file=sys.stderr)
     pipe = JAFProPipeline(cfg, flow_engine=engine)
     params = pipe.init_params(jax.random.PRNGKey(0))
     clip = {
@@ -108,7 +136,7 @@ def setup(T=30, R=4, S=256, p=200):
         "cams": jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (T, 1)),
         "verts": jnp.asarray(verts),
     }
-    return pipe, params, clip, T
+    return pipe, params, clip, T, warp_cols
 
 
 def main():
@@ -117,13 +145,15 @@ def main():
 
     from jafpro_tpu.infer import VideoGenerator
 
-    pipe, params, clip, T = setup()
+    pipe, params, clip, T, warp_cols = setup()
 
     gen = VideoGenerator(
         pipe, frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
         raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"),
         flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"),
-        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"))
+        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"),
+        warp_crop_cols=warp_cols,
+        crop_flow=bool(int(os.environ.get("BENCH_FLOW_CROP", "1"))))
 
     # BENCH_CLIPS > 1: serving throughput — generate a batch of independent
     # clips in one program (vmap over clips; per-frame scan batches across

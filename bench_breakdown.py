@@ -23,7 +23,7 @@ COMPONENTS = ("none", "prep", "warp", "refine", "raster", "flow", "pro",
               "accu", "bg", "lutbuild", "srcraster")
 
 
-def time_variant(pipe, params, clip, T, ablate):
+def time_variant(pipe, params, clip, T, ablate, warp_cols=0):
     import jax
     import jax.numpy as jnp
 
@@ -31,12 +31,16 @@ def time_variant(pipe, params, clip, T, ablate):
 
     # honor the same mode env knobs as bench.main so attributions are
     # always measured at the configuration under study
+    if "BENCH_WARP_CROP" in os.environ:
+        warp_cols = int(os.environ["BENCH_WARP_CROP"])
     gen = VideoGenerator(
         pipe, ablate=frozenset(ablate),
         frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "1")),
         raster_mode=os.environ.get("BENCH_RASTER_MODE", "scan"),
         flow_mode=os.environ.get("BENCH_FLOW_MODE", "scan"),
-        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"))
+        warp_mode=os.environ.get("BENCH_WARP_MODE", "lut"),
+        warp_crop_cols=warp_cols,
+        crop_flow=bool(int(os.environ.get("BENCH_FLOW_CROP", "1"))))
     chain = jax.jit(lambda c, final: dict(
         c, bg_incomplete=c["bg_incomplete"] + 1e-12 * jnp.mean(final)))
 
@@ -65,12 +69,12 @@ def main(argv):
     import bench
 
     names = argv or list(COMPONENTS)
-    pipe, params, clip, T = bench.setup()
+    pipe, params, clip, T, warp_cols = bench.setup()
     results = {}
     for name in names:
         ablate = () if name == "none" else (name,)
         t0 = time.perf_counter()
-        dt = time_variant(pipe, params, clip, T, ablate)
+        dt = time_variant(pipe, params, clip, T, ablate, warp_cols)
         results[name] = dt
         print(json.dumps({
             "variant": name, "clip_seconds": round(dt, 4),

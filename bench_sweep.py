@@ -8,12 +8,16 @@ and prints one labeled JSON line per config.
 Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   (each arg is
   BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[
-  :DEPTH_MODE[:PART_CONV[:BIN_IMPL[:RANGE_CHECKED[:CROP_COLS]]]]]]]];
+  :DEPTH_MODE[:PART_CONV[:BIN_IMPL[:RANGE_CHECKED[:CROP_COLS[:WARP_CROP[
+  :FLOW_CROP]]]]]]]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
   DEPTH_MODE to fused, PART_CONV to blocks8; BIN_IMPL/RANGE_CHECKED/
   CROP_COLS default to whatever adapt_to_clip selects — pass sort/copysort,
-  0/1, and a width (0 = full) to pin).
+  0/1, and a width (0 = full) to pin; WARP_CROP pins the texture-warp
+  column window (0 = full width, default = the select_mask_crop_cols
+  bucket); FLOW_CROP 0/1 gates the bc-transform + source-warp crop
+  (default 1)).
 """
 
 import json
@@ -38,6 +42,8 @@ def main():
         bin_impl = parts[8] if len(parts) > 8 else ""
         rangechk = parts[9] if len(parts) > 9 else ""
         crop = parts[10] if len(parts) > 10 else ""
+        warp_crop = parts[11] if len(parts) > 11 else ""
+        flow_crop = parts[12] if len(parts) > 12 else ""
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode
@@ -48,7 +54,9 @@ def main():
         os.environ["BENCH_PART_CONV"] = pconv
         for key, val in (("BENCH_BIN_IMPL", bin_impl),
                          ("BENCH_RANGE_CHECKED", rangechk),
-                         ("BENCH_CROP_COLS", crop)):
+                         ("BENCH_CROP_COLS", crop),
+                         ("BENCH_WARP_CROP", warp_crop),
+                         ("BENCH_FLOW_CROP", flow_crop)):
             if val:
                 os.environ[key] = val
             else:
@@ -56,7 +64,8 @@ def main():
         print(f"=== config cap={cap} fb={fb} raster={mode} rows={rows} "
               f"flow={flow} warp={warp} depth={depth} pconv={pconv} "
               f"bin={bin_impl or 'adapt'} rangechk={rangechk or 'adapt'} "
-              f"crop={crop or 'adapt'} ===",
+              f"crop={crop or 'adapt'} warp_crop={warp_crop or 'adapt'} "
+              f"flow_crop={flow_crop or '1'} ===",
               file=sys.stderr)
         t0 = time.time()
         bench.main()

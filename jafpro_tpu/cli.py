@@ -335,17 +335,24 @@ def cmd_infer(args) -> None:
     _gens = {}
 
     def adapt_engine(clip_np):
-        return base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
+        eng = base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
+        # texture-warp column window: host-validated bucket over the clip's
+        # IUV body extent (part id 0 outside the body -> the cropped warp
+        # is bitwise-equal; see VideoGenerator.warp_crop_cols)
+        from jafpro_tpu.geometry.rasterizer import select_mask_crop_cols
 
-    def gen_for_engine(eng):
-        # every adapt_to_clip-selected field must key the cache: clips in
-        # the same capacity bucket can differ in crop window / bin form
+        warp_cols = select_mask_crop_cols(clip_np["tgt_iuv255"][..., 0] > 0)
+        return eng, warp_cols
+
+    def gen_for_engine(eng, warp_cols=0):
+        # every adapt-selected field must key the cache: clips in the same
+        # capacity bucket can differ in crop window / bin form / warp window
         key = (eng.band_rows, eng.band_capacity, eng.bin_impl,
-               eng.bin_span, eng.crop_cols)
+               eng.bin_span, eng.crop_cols, warp_cols)
         if key not in _gens:
             p = pipe if eng is base_engine else \
                 JAFProPipeline(cfg, flow_engine=eng)
-            _gens[key] = VideoGenerator(p)
+            _gens[key] = VideoGenerator(p, warp_crop_cols=warp_cols)
         return _gens[key]
 
     import cv2
@@ -403,12 +410,18 @@ def cmd_infer(args) -> None:
             return clips_np, [adapt_engine(c) for c in clips_np]
 
         def compute_group(group, loaded):
-            clips_np, engines = loaded
+            clips_np, adapted = loaded
+            engines = [e for e, _ in adapted]
+            # the warp window merges by the crop_cols rule: any clip that
+            # fit no bucket (0) forces full width, else the widest wins
+            warp_list = [w for _, w in adapted]
+            warp_cols = 0 if 0 in warp_list else max(warp_list)
             # one program per group: merge the clips' adapted engines
             # field-by-field into one exact for every clip (clip A can
             # bind the capacity while clip B binds the crop window)
             from jafpro_tpu.geometry.flow import SMPLFlowEngine
-            gen = gen_for_engine(SMPLFlowEngine.merge_conservative(engines))
+            gen = gen_for_engine(SMPLFlowEngine.merge_conservative(engines),
+                                 warp_cols)
             clips = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[to_device(c) for c in clips_np])
             return gen.generate_batch(params, clips, mesh=mesh)
@@ -427,8 +440,8 @@ def cmd_infer(args) -> None:
         return clip_np, adapt_engine(clip_np)
 
     def compute_single(vid, loaded):
-        clip_np, eng = loaded
-        return gen_for_engine(eng)(params, to_device(clip_np))
+        clip_np, (eng, warp_cols) = loaded
+        return gen_for_engine(eng, warp_cols)(params, to_device(clip_np))
 
     for _ in run_overlapped(list(vids), load_single, compute_single,
                             write_frames):

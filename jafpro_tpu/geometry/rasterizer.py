@@ -586,6 +586,54 @@ def select_crop_cols(
     return 0
 
 
+def select_mask_crop_cols(
+    mask: np.ndarray, buckets: tuple = CROP_COLS_BUCKETS
+) -> int:
+    """Smallest column-window bucket covering every frame's True-column
+    extent of a boolean mask (B, S, S) — the IUV-body analogue of
+    :func:`select_crop_cols` for per-pixel stages whose body support is an
+    integer data mask rather than projected geometry (no rounding, so no
+    margin is needed).  0 when no bucket fits (callers run full-width).
+
+    Serving uses it on ``tgt_iuv255``'s part-id channel to crop the
+    texture warp (``VideoGenerator.warp_crop_cols``): outside the body a
+    DensePose part id is 0 and the warp output is exactly 0, so a window
+    covering every ``pid > 0`` column reproduces the full-width warp
+    bitwise."""
+    m = np.asarray(mask).astype(bool)
+    S = m.shape[-1]
+    cols = m.reshape(-1, m.shape[-2], S).any(-2)  # (B, S)
+    need = 1
+    for b in range(cols.shape[0]):
+        idx = np.nonzero(cols[b])[0]
+        if idx.size:
+            need = max(need, int(idx[-1] - idx[0]) + 1)
+    for w in sorted(buckets):
+        if need <= w < S:
+            return w
+    return 0
+
+
+def column_window_offset(body: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Traced left edge of a ``width``-wide column window covering every
+    True column of ``body`` (..., rows, S) — one window per leading index.
+
+    Exact whenever each frame's True-column extent fits ``width``, which
+    the caller must have validated on the host (``select_mask_crop_cols``
+    for data masks; ``select_crop_cols`` already bounds every ``fim >= 0``
+    column because a rasterized pixel center lies inside its face's pixel-x
+    extent).  All-False frames place the window at 0 — every pixel is
+    background there, so placement cannot matter.  This is the pixel-side
+    cull for the per-pixel gather stages DOWNSTREAM of the rasterizer
+    (barycentric transform, source-image warp, texture warp): slice the
+    window, run the stage on (rows, width), scatter back into the stage's
+    background value."""
+    S = body.shape[-1]
+    any_col = jnp.any(body, axis=-2)  # (..., S)
+    first = jnp.argmax(any_col, axis=-1).astype(jnp.int32)
+    return jnp.minimum(first, S - width)
+
+
 BIN_SPAN_BUCKETS = (2, 3, 4, 6, 8, 12, 16)
 
 

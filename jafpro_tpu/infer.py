@@ -70,6 +70,23 @@ class VideoGenerator:
     # zero gathers; "mm" keeps bf16 operands, "mm8" quantizes both matmul
     # operands to int8 (2x MXU rate, ~1/127 absolute tolerance).
     warp_mode: str = "lut"
+    # Pixel-side culls for the per-pixel gather stages (serving-side, like
+    # the rasterizer's own crop_cols): a person covers a fraction of the
+    # frame width, and these stages gather per PIXEL (round-3 attribution:
+    # warp LUT 3.3 ms/f, bc-transform + source warp ~1.5 ms/f — TUNING.md).
+    # warp_crop_cols > 0 crops the texture warp to a column window placed
+    # per frame from the IUV body extent; the width must be host-validated
+    # per clip (rasterizer.select_mask_crop_cols on tgt_iuv255's part ids —
+    # cli.py's adapt step selects the bucket).  Bitwise-exact: part id 0
+    # outside the body makes the full-width warp 0 there.
+    warp_crop_cols: int = 0
+    # crop_flow=True additionally crops the barycentric transform + the
+    # source-image warp to the flow engine's raster window width
+    # (engine.crop_cols — its select_crop_cols validation already covers
+    # every fim >= 0 column); a no-op while engine.crop_cols == 0.
+    # Bitwise-exact: outside the window fim is -1, the flow is -2, and the
+    # border-clamped sample of -2 is a per-image constant fill.
+    crop_flow: bool = True
     # Timing diagnostics ONLY (bench_breakdown.py): component names to
     # replace with cheap shape-preserving stand-ins so whole-program A/B
     # deltas attribute frame time per component.  The stand-ins stay
@@ -137,6 +154,55 @@ class VideoGenerator:
             build_texture_warp_lut, parts_to_atlas, texture_warp_atlas,
             texture_warp_lut, texture_warp_mm)
         from jafpro_tpu.geometry.flow import cal_bc_transform
+        from jafpro_tpu.geometry.rasterizer import column_window_offset
+
+        Wf = (engine.crop_cols
+              if self.crop_flow and 0 < engine.crop_cols < S else 0)
+
+        def bc_warp(f2pts, fim, wim, src):
+            """flow = bc_transform(fim, wim); tsf = border-warp(src, flow),
+            column-cropped to the raster window when Wf > 0 (bitwise-equal:
+            outside the window fim = -1 -> flow = -2 -> the border-clamped
+            constant fill)."""
+            if not Wf:
+                return engine.warp_image(src, cal_bc_transform(
+                    f2pts, fim, wim))
+            c0 = column_window_offset(fim >= 0, Wf)  # (B,)
+            fim_w = jax.vmap(
+                lambda a, c: jax.lax.dynamic_slice(a, (0, c), (S, Wf)))(
+                    fim, c0)
+            wim_w = jax.vmap(
+                lambda a, c: jax.lax.dynamic_slice(a, (0, c, 0), (S, Wf, 3)))(
+                    wim, c0)
+            flow_w = cal_bc_transform(f2pts, fim_w, wim_w)
+            tsf_w = engine.warp_image(src, flow_w)          # (B, S, Wf, C)
+            fill = engine.warp_image(
+                src, jnp.full((src.shape[0], 1, 1, 2), -2.0, flow_w.dtype))
+            canvas = jnp.broadcast_to(
+                fill, tsf_w.shape[:1] + (S, S) + tsf_w.shape[-1:])
+            return jax.vmap(
+                lambda cv, w, c: jax.lax.dynamic_update_slice(
+                    cv, w, (0, c, 0)))(canvas, tsf_w, c0)
+
+        Wc = (self.warp_crop_cols
+              if (0 < self.warp_crop_cols < S
+                  and self.warp_mode in ("lut", "lut2")) else 0)
+
+        def warp_cropped(iuv255):
+            """texture_warp_lut on the IUV body's column window only,
+            scattered back into the zero background (bitwise-equal given
+            the host-validated width: part id 0 -> warp 0)."""
+            c0 = column_window_offset(iuv255[..., 0] > 0, Wc)  # (fb,)
+            iuv_w = jax.vmap(
+                lambda a, c: jax.lax.dynamic_slice(a, (0, c, 0), (S, Wc, 3)))(
+                    iuv255, c0)
+            w_w = texture_warp_lut(
+                warp_src_b, iuv_w,
+                impl="rows" if self.warp_mode == "lut2" else "tap")
+            return jax.vmap(
+                lambda w, c: jax.lax.dynamic_update_slice(
+                    jnp.zeros((S, S, w.shape[-1]), w.dtype), w, (0, c, 0)))(
+                        w_w, c0)
 
         T = clip["tgt_iuv255"].shape[0]
         fb = self.frame_batch
@@ -169,9 +235,8 @@ class VideoGenerator:
             src_pro_all = jnp.argmin(
                 jnp.abs(jnp.arange(T)[:, None] - chosen[None, :]), axis=1)
             _, fim_all, wim_all = engine.render_fim_wim(cams, verts)
-            flow_all = cal_bc_transform(
-                src_f2pts_all[src_pro_all], fim_all, wim_all)
-            tsf_all = engine.warp_image(src_imgs[src_pro_all], flow_all)
+            tsf_all = bc_warp(src_f2pts_all[src_pro_all], fim_all, wim_all,
+                              src_imgs[src_pro_all])
         elif self.raster_mode == "batch":
             # one batched z-buffer over every target pose; the scan below
             # consumes precomputed fim/wim slices
@@ -185,6 +250,8 @@ class VideoGenerator:
 
             if "warp" in self.ablate:
                 warped = iuv  # shape-matched, data-dependent stand-in
+            elif Wc:
+                warped = warp_cropped(iuv255)
             elif self.warp_mode == "lut2":
                 warped = texture_warp_lut(warp_src_b, iuv255, impl="rows")
             elif self.warp_mode == "lut":
@@ -218,9 +285,8 @@ class VideoGenerator:
                 else:
                     _, tsf_fim, tsf_wim = engine.render_fim_wim(
                         cams[i], verts[i])
-                flow = cal_bc_transform(
-                    src_f2pts_all[src_pro], tsf_fim, tsf_wim)
-                tsf = engine.warp_image(prev_img, flow)
+                tsf = bc_warp(src_f2pts_all[src_pro], tsf_fim, tsf_wim,
+                              prev_img)
 
             if "pro" in self.ablate:
                 out = {"pred_target": fusion,

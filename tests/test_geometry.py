@@ -270,6 +270,39 @@ def test_rasterizer_crop_cols_matches_full(depth_mode):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+def test_select_mask_crop_cols_and_window_offset():
+    """The host bucket covers every frame's True-column extent, and the
+    traced window offset places a window containing every True column."""
+    import jax.numpy as jnp
+
+    from jafpro_tpu.geometry.rasterizer import (column_window_offset,
+                                                select_mask_crop_cols)
+
+    rng = np.random.RandomState(3)
+    S = 64
+    masks = np.zeros((5, S, S), bool)
+    for b in range(5):
+        c = rng.randint(0, S - 20)
+        w = rng.randint(1, 20)
+        rows = rng.rand(S, w) > 0.6
+        masks[b, :, c:c + w] = rows
+    width = select_mask_crop_cols(masks, buckets=(8, 16, 24, 32, 48))
+    assert width > 0
+    c0 = np.asarray(column_window_offset(jnp.asarray(masks), width))
+    for b in range(5):
+        idx = np.nonzero(masks[b].any(0))[0]
+        if idx.size:
+            assert c0[b] <= idx[0] and idx[-1] < c0[b] + width
+    # a full-width mask fits no bucket -> 0 (callers run uncropped)
+    full = np.ones((1, S, S), bool)
+    assert select_mask_crop_cols(full, buckets=(8, 16, 32)) == 0
+    # all-False frames place the window at 0 (placement is irrelevant:
+    # every pixel is background)
+    empty = np.zeros((2, S, S), bool)
+    assert (np.asarray(column_window_offset(jnp.asarray(empty), 16))
+            == 0).all()
+
+
 def test_select_crop_cols_full_scene_returns_zero():
     """A scene spanning the full width fits no bucket -> 0 (no crop)."""
     from jafpro_tpu.geometry.rasterizer import select_crop_cols

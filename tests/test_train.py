@@ -222,6 +222,60 @@ def test_video_generator_crop_invariance(setup):
                                       np.asarray(cropped[k]))
 
 
+def test_video_generator_warp_crop_invariance(setup):
+    """warp_crop_cols (texture warp on the IUV body's column window only)
+    must reproduce the full-width generator bitwise when the body extent
+    fits the host-selected bucket, and crop_flow must do the same for the
+    bc-transform + source-warp window (exercised here alongside the raster
+    crop, the production serving combination)."""
+    import dataclasses
+
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    S = pipe.cfg.image_size
+    # confine the IUV body to a narrow column band (a real DensePose map
+    # is 0 off the body); keep u/v random inside it
+    iuv = np.array(clip["tgt_iuv255"])  # copy: jax arrays view read-only
+    body_cols = np.zeros((S,), bool)
+    body_cols[21:39] = True
+    iuv[..., 0] *= body_cols[None, None, :]
+    clip = dict(clip, tgt_iuv255=jnp.asarray(iuv),
+                tgt_iuv=jnp.asarray((iuv / 255.0 - 0.5) * 2.0, np.float32))
+    from jafpro_tpu.geometry.rasterizer import select_mask_crop_cols
+
+    w = select_mask_crop_cols(iuv[..., 0] > 0, buckets=(8, 16, 24, 32))
+    assert w > 0
+    ref = VideoGenerator(pipe)(params, clip)
+    got = VideoGenerator(pipe, warp_crop_cols=w)(params, clip)
+    for k in ("final", "coarse", "mask", "tsf"):
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(got[k]))
+    # flow crop alone (no raster crop): engine.crop_cols gates it, so a
+    # cropped engine with crop_flow=False isolates the raster kernel's own
+    # crop from the downstream bc-transform/source-warp crop
+    clip2 = dict(clip)
+    clip2["verts"] = clip2["verts"] * jnp.asarray([0.35, 1.0, 1.0])
+    from jafpro_tpu.geometry.projection import project_to_view_np
+    from jafpro_tpu.geometry.rasterizer import select_crop_cols
+
+    view = project_to_view_np(np.asarray(clip2["verts"], np.float32),
+                              np.asarray(clip2["cams"], np.float32),
+                              pipe.flow_engine.viewing_angle)
+    wr = select_crop_cols(view[:, pipe.flow_engine.faces], image_size=S,
+                          buckets=(16, 24, 32, 48))
+    assert wr > 0
+    eng = dataclasses.replace(pipe.flow_engine, crop_cols=wr)
+    cpipe = JAFProPipeline(pipe.cfg, flow_engine=eng)
+    ref2 = VideoGenerator(pipe)(params, clip2)
+    raster_only = VideoGenerator(cpipe, crop_flow=False)(params, clip2)
+    both = VideoGenerator(cpipe)(params, clip2)
+    for k in ("final", "coarse", "mask", "tsf"):
+        np.testing.assert_array_equal(np.asarray(ref2[k]),
+                                      np.asarray(raster_only[k]))
+        np.testing.assert_array_equal(np.asarray(ref2[k]),
+                                      np.asarray(both[k]))
+
+
 def test_video_generator_warp_mode_invariance(setup):
     """warp_mode='lut' (per-clip integer-UV table + 1-tap gather) must match
     warp_mode='gather' (4-tap atlas gather) on integer IUV data."""
