@@ -37,14 +37,16 @@ class _CRNBase(nn.Module):
 
         net = None
         for lvl in range(6, 0, -1):  # decoder levels 6..1
-            size = sp // (2 ** lvl)
+            # clamp to 1px so sub-64 debug/dryrun sizes stay well-formed
+            # (production sizes >=64 are unaffected: sp // 64 >= 1)
+            size = max(1, sp // (2 ** lvl))
             down = resize_bilinear(label, (size, size), align_corners=True)
             parts = [down, pools[lvl - 1]]
             if net is not None:
                 parts.append(net)
             x = jnp.concatenate(parts, axis=-1)
             x = ConvBlock(2, 512 if lvl > 1 else 256, dtype=self.dtype)(x)
-            up = sp // (2 ** (lvl - 1))
+            up = max(1, sp // (2 ** (lvl - 1)))
             net = resize_bilinear(x, (up, up), align_corners=True)
 
         x = jnp.concatenate([label, net], axis=-1)
