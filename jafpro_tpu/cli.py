@@ -14,6 +14,7 @@ TPU the device set is the jax runtime's, optionally restricted with
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from typing import Optional
@@ -280,6 +281,12 @@ def cmd_train(args) -> None:
     rng = np.random.RandomState(args.seed + start_it)
     next_raw = _raw_batch_source(args, cfg, rng, verts)
 
+    # full per-iteration metric series (G/D/FD/recon/...), one JSON line
+    # per step — the auditable record of GAN stability that the
+    # reference's console log only shows transiently
+    loss_log = open(os.path.join(ckpt_dir, "losses.jsonl"),
+                    "a" if start_it else "w")
+
     for it in range(start_it, start_it + args.iters):
         b = apply_curriculum(dict(next_raw()), args.stage, rng,
                              cfg.maximum_ref_frames)
@@ -290,6 +297,10 @@ def cmd_train(args) -> None:
             jax.block_until_ready(metrics["loss"])
         loss = float(metrics["loss"])
         logger.scalar_summary("total loss", loss, it)
+        row = {"stage": args.stage, "iter": it,
+               "seconds": round(t["seconds"], 4)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        loss_log.write(json.dumps(row) + "\n")
         print(f"[stage{args.stage}] iter {it} loss {loss:.4f} "
               f"({t['seconds']:.3f}s)")
 
@@ -297,6 +308,7 @@ def cmd_train(args) -> None:
             save_checkpoint(ckpt_dir, it, {
                 "params": state.params, "opt_states": state.opt_states,
                 "step": state.step})
+    loss_log.close()
     last = start_it + args.iters - 1
     save_checkpoint(ckpt_dir, max(last, 0), {
         "params": state.params, "opt_states": state.opt_states,
@@ -333,6 +345,10 @@ def cmd_infer(args) -> None:
 
     base_engine = pipe.flow_engine
     _gens = {}
+    # component ablations (e.g. --ablate pro = skip the propagation blend,
+    # final == the refine+bg fusion) — the quality harness uses this to
+    # attribute the flow-consistency metric to the propagation stage
+    ablate = frozenset(s for s in (args.ablate or "").split(",") if s)
 
     def adapt_engine(clip_np):
         eng = base_engine.adapt_to_clip(clip_np["cams"], clip_np["verts"])
@@ -352,7 +368,8 @@ def cmd_infer(args) -> None:
         if key not in _gens:
             p = pipe if eng is base_engine else \
                 JAFProPipeline(cfg, flow_engine=eng)
-            _gens[key] = VideoGenerator(p, warp_crop_cols=warp_cols)
+            _gens[key] = VideoGenerator(p, warp_crop_cols=warp_cols,
+                                        ablate=ablate)
         return _gens[key]
 
     import cv2
@@ -378,16 +395,28 @@ def cmd_infer(args) -> None:
                         tsf[i])
         print("wrote", save_dir)
 
+    # the reference appends one line per video naming the chosen reference
+    # frames (``src/data.py:530-535`` -> log_result/chosen_frame.txt); kept
+    # as an audit trail of the angle-based selection
+    audit_dir = os.path.join(cfg.project_dir, "log_result")
+    os.makedirs(audit_dir, exist_ok=True)
+    audit_path = os.path.join(audit_dir, "chosen_frame.txt")
+
     def load_one(vid):
-        return load_clip(
+        clip = load_clip(
             os.path.join(cfg.data_root, "test"),
             os.path.join(cfg.smpl_root, "test"),
             os.path.join(cfg.mask_root, "test"),
             vid, num_refs=args.num_refs)
+        msg = "the chosen frame index of video %s is" % vid
+        msg += "".join(",%s" % n for n in clip["chosen_names"])
+        with open(audit_path, "a") as f:
+            f.write("%s.\n\n" % msg)
+        return clip
 
     def to_device(clip_np):
         return {k: jnp.asarray(v) for k, v in clip_np.items()
-                if k not in ("gt_frames", "vid_name")}
+                if k not in ("gt_frames", "vid_name", "chosen_names")}
 
     # Overlapped serving loop: prefetch thread decodes + adapts clip i+1,
     # the device generates clip i, the writer pool encodes clip i-1 — the
@@ -491,27 +520,65 @@ def _metric_hooks(image_size: int = 256):
     }
 
 
+def _eval_select_frames(files, data_type: str, role: str):
+    """Frame-name selection + ordering for one video dir, matching the
+    reference evaluator's three prediction conventions
+    (``test/video_evaluation.py:104-134``):
+
+    * gt (any type): drop text/mask/IUV/bbox files, sort by the frame
+      index parsed as ``int(name[6:-4])`` (``frame_<i>.jpg``);
+    * densepose pred: additionally drop coarse/tsf, same sort;
+    * openpose pred: keep ``*src*``-free pngs, sort ``int(name[11:-4])``
+      (``synthesized_<i>.png`` etc. — an 11-char prefix);
+    * every pred: keep ``*synthesized*`` files, sort ``int(name[4:8])``
+      (a 4-digit index at chars 4..8).
+
+    Falls back to a lexicographic sort when a name does not carry the
+    convention's integer (zero-padded layouts sort identically; the
+    reference would crash instead)."""
+    if role == "gt" or data_type == "densepose":
+        drop = ("text", "mask", "IUV", "bbox")
+        if role != "gt":
+            drop += ("coarse", "tsf")
+        keep = [f for f in files
+                if f.endswith((".jpg", ".png"))
+                and all(s not in f for s in drop)]
+        key = lambda x: int(x[6:-4])  # noqa: E731
+    elif data_type == "openpose":
+        keep = [f for f in files if f.find("png") > 0 and "src" not in f]
+        key = lambda x: int(x[11:-4])  # noqa: E731
+    else:  # every
+        keep = [f for f in files if "synthesized" in f]
+        key = lambda x: int(x[4:8])  # noqa: E731
+    try:
+        return sorted(keep, key=key)
+    except ValueError:
+        return sorted(keep)
+
+
 def cmd_evaluate(args) -> None:
     import cv2
 
     from jafpro_tpu.evaluate import evaluate_video
 
     hooks = {} if args.no_deep_metrics else _metric_hooks()
+    data_type = getattr(args, "type", "densepose")
 
-    def read_frames(d):
-        # skip the inference side-outputs (mask_/coarse_/tsf_ prefixes) AND
-        # the raw-dataset auxiliary images (_IUV/_text/_mask suffixes) so a
-        # dataset dir works directly as --gt
-        names = sorted(
-            n for n in os.listdir(d)
-            if n.endswith((".jpg", ".png"))
-            and not n.startswith(("mask_", "coarse_", "tsf_"))
-            and not n.rsplit(".", 1)[0].endswith(("_IUV", "_text", "_mask")))
+    def read_frames(d, role):
+        names = _eval_select_frames(sorted(os.listdir(d)), data_type, role)
+        if not names:
+            raise SystemExit(
+                f"evaluate: no frames matching the '{data_type}' "
+                f"convention in {d}")
         frames = []
         for n in names:
             img = cv2.imread(os.path.join(d, n))
             if img is None:
                 raise SystemExit(f"evaluate: unreadable frame {d}/{n}")
+            if role == "pred" and data_type == "every":
+                # the reference nearest-resizes 'every' predictions to 256
+                img = cv2.resize(img, (256, 256),
+                                 interpolation=cv2.INTER_NEAREST)
             frames.append(img)
         return np.stack(frames)
 
@@ -520,13 +587,18 @@ def cmd_evaluate(args) -> None:
             raise SystemExit(
                 f"evaluate: {name} directory not found: {d} "
                 "(expected per-video subdirectories of frames)")
+    # openpose prediction roots hold auxiliary dirs whose names end in
+    # 'o' (the reference skips them, video_evaluation.py:75-82)
     results = []
     vids = sorted(os.listdir(args.pred))
+    if data_type == "openpose":
+        vids = [v for v in vids if not v.endswith("o")]
     for vid in vids:
         pd, gd = os.path.join(args.pred, vid), os.path.join(args.gt, vid)
         if not (os.path.isdir(pd) and os.path.isdir(gd)):
             continue
-        m = evaluate_video(read_frames(pd), read_frames(gd), **hooks)
+        m = evaluate_video(read_frames(pd, "pred"), read_frames(gd, "gt"),
+                           **hooks)
         results.append(m)
         print(vid, {k: round(v, 4) for k, v in m.items()})
     if results:
@@ -627,6 +699,10 @@ def main(argv: Optional[list] = None) -> None:
     i = sub.add_parser("infer")
     i.add_argument("--exp_name", "-e", default="exp")
     i.add_argument("--num_refs", "-n", type=int, default=4)
+    i.add_argument("--ablate", default="",
+                   help="comma-separated components to stub out (e.g. "
+                        "'pro' skips the propagation blend; see "
+                        "infer.VideoGenerator.ablate)")
     i.add_argument("--num-devices", type=int, default=0,
                    help="shard whole clips across a data-parallel mesh "
                    "(serving scale-out; 0/1 = single device)")
@@ -635,6 +711,10 @@ def main(argv: Optional[list] = None) -> None:
     e = sub.add_parser("evaluate")
     e.add_argument("--pred", required=True)
     e.add_argument("--gt", required=True)
+    e.add_argument("--type", default="densepose",
+                   choices=["densepose", "openpose", "every"],
+                   help="prediction-dir naming convention "
+                        "(test/video_evaluation.py:75-134)")
     e.add_argument("--no-deep-metrics", action="store_true",
                    help="skip the VGG/FlowNetSD hooks (4 fast metrics only)")
     e.set_defaults(fn=cmd_evaluate)

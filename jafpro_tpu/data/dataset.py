@@ -139,6 +139,9 @@ def load_clip(
         "verts": np.asarray(smpl["vertices"], np.float32),
         "gt_frames": imgs,
         "vid_name": vid_name,
+        # basenames of the chosen reference frames, for the audit log the
+        # reference appends per video (``src/data.py:530-535``)
+        "chosen_names": [os.path.basename(files["img"][f]) for f in frames],
     }
 
 

@@ -151,6 +151,18 @@ def test_train_init_from_cross_stage_warm_start(workdir, capsys):
     assert _tree_equal(s2["accu"], s1["accu"])
     assert not _tree_equal(s2["inpaint"], s1["inpaint"])
 
+    # stage 3 seeds accu+inpaint from the stage-2 checkpoint
+    # (ref train/3:123-129)
+    cli.main(["train", "--stage", "3", "--synthetic", "--iters", "0",
+              "-n", "exp_s3", "--batch-size", "2", "--seed", "9",
+              "--init-from", "exp_s2"])
+    out = capsys.readouterr().out
+    assert "warm start: {accu,inpaint}" in out
+    s3 = restore_checkpoint("checkpoints/exp_s3", 0)["params"]
+    assert _tree_equal(s3["accu"], s2["accu"])
+    assert _tree_equal(s3["inpaint"], s2["inpaint"])
+    assert not _tree_equal(s3["bg"], s2["bg"])  # bg trains fresh in stage 3
+
     # stage 4 seeds accu+inpaint+bg+refine from the stage-2 checkpoint
     # (explicit :step form)
     cli.main(["train", "--stage", "4", "--synthetic", "--iters", "0",
@@ -219,3 +231,120 @@ def test_gif_cli_writes_per_video_gifs(workdir, capsys):
     with Image.open(out_path) as im:
         assert im.n_frames == 4  # finals only, not the 12 variants
     assert "wrote" in capsys.readouterr().out
+
+
+def _write_const_frames(d, names, values, size=64, fmt_bgr=None):
+    import cv2
+
+    d.mkdir(parents=True, exist_ok=True)
+    for n, v in zip(names, values):
+        img = np.full((size, size, 3), v, np.uint8)
+        cv2.imwrite(str(d / n), img)
+
+
+def test_evaluate_type_densepose_numeric_sort(workdir, capsys):
+    """densepose convention (video_evaluation.py:117-127): decoys with
+    text/mask/IUV/bbox/coarse/tsf substrings drop; frames pair by the
+    NUMERIC index in frame_<i>.jpg (11 frames — lexical order would
+    mispair frame_10)."""
+    vals = [20 * i for i in range(11)]
+    gt_names = [f"frame_{i}.jpg" for i in range(11)]
+    _write_const_frames(workdir / "gt" / "vid_a", gt_names, vals)
+    _write_const_frames(workdir / "pred" / "vid_a", gt_names, vals)
+    # decoys that each filter must drop
+    _write_const_frames(workdir / "pred" / "vid_a",
+                        ["coarse_frame_0.jpg", "tsf_frame_0.jpg",
+                         "mask_frame_0.jpg", "frame_0_IUV.png"],
+                        [255, 255, 255, 255])
+    _write_const_frames(workdir / "gt" / "vid_a",
+                        ["frame_0_text.png", "frame_0_bbox.jpg"], [255, 255])
+    cli.main(["evaluate", "--pred", str(workdir / "pred"),
+              "--gt", str(workdir / "gt"), "--type", "densepose",
+              "--no-deep-metrics"])
+    out = capsys.readouterr().out
+    assert "vid_a" in out
+    l1 = float(out.split("'l1': ")[1].split(",")[0].rstrip("}"))
+    assert l1 < 0.02  # numeric pairing -> identical constants
+
+
+def test_evaluate_type_openpose_layout(workdir, capsys):
+    """openpose convention (video_evaluation.py:75-82,119-121,129):
+    aux dirs ending in 'o' skip; only pngs without 'src' count; frames
+    sort by int(name[11:-4]) (11-char prefix)."""
+    vals = [15 * i for i in range(11)]
+    _write_const_frames(workdir / "gt" / "vid_a",
+                        [f"frame_{i}.jpg" for i in range(11)], vals)
+    _write_const_frames(workdir / "pred" / "vid_a",
+                        [f"pred_frame_{i}.png" for i in range(11)], vals)
+    _write_const_frames(workdir / "pred" / "vid_a",
+                        ["src_000000.png", "pred_frame_0.jpg"], [255, 255])
+    _write_const_frames(workdir / "pred" / "vid_ao",
+                        ["pred_frame_0.png"], [255])  # aux dir: skipped
+    cli.main(["evaluate", "--pred", str(workdir / "pred"),
+              "--gt", str(workdir / "gt"), "--type", "openpose",
+              "--no-deep-metrics"])
+    out = capsys.readouterr().out
+    assert "vid_a" in out and "vid_ao" not in out
+    l1 = float(out.split("'l1': ")[1].split(",")[0].rstrip("}"))
+    assert l1 < 0.02
+
+
+def test_evaluate_type_every_layout(workdir, capsys):
+    """every convention (video_evaluation.py:131-134,160-162): only
+    *synthesized* files count, sorted by int(name[4:8]), and predictions
+    nearest-resize to 256 before comparison."""
+    vals = [25 * i for i in range(5)]
+    _write_const_frames(workdir / "gt" / "vid_a",
+                        [f"frame_{i}.jpg" for i in range(5)], vals, size=256)
+    _write_const_frames(workdir / "pred" / "vid_a",
+                        [f"gen_{i:04d}_synthesized.png" for i in range(5)],
+                        vals, size=128)  # upscaled by the evaluator
+    _write_const_frames(workdir / "pred" / "vid_a",
+                        ["gen_0000_raw.png"], [255])
+    cli.main(["evaluate", "--pred", str(workdir / "pred"),
+              "--gt", str(workdir / "gt"), "--type", "every",
+              "--no-deep-metrics"])
+    out = capsys.readouterr().out
+    assert "vid_a" in out
+    l1 = float(out.split("'l1': ")[1].split(",")[0].rstrip("}"))
+    assert l1 < 0.02
+
+
+@pytest.mark.slow
+def test_infer_cli_serving_smoke(workdir, capsys, monkeypatch):
+    """End-to-end `cli infer` on synthetic DISK clips through the
+    overlapped serving loop (VERDICT r3 weak #5's CLI smoke): all frames
+    land on disk, the run is timed, and the chosen-reference-frame audit
+    log is appended (ref src/data.py:530-535)."""
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from make_fixture import write_fixture
+
+    fx = str(workdir / "fx")
+    write_fixture(fx, vids_per_mode=2, frames=4, seed=0)
+    monkeypatch.setenv("JAFPRO_DATA_ROOT", os.path.join(fx, "data"))
+    monkeypatch.setenv("JAFPRO_SMPL_ROOT", os.path.join(fx, "smpl"))
+    monkeypatch.setenv("JAFPRO_MASK_ROOT", os.path.join(fx, "mask"))
+
+    t0 = _time.perf_counter()
+    cli.main(["infer", "-e", "smoke", "-n", "2"])
+    dt = _time.perf_counter() - t0
+    out = capsys.readouterr().out
+    assert "Testing Done." in out
+
+    vids = sorted(os.listdir(os.path.join(fx, "data", "test")))
+    for vid in vids:
+        d = os.path.join("test_results", "smoke", vid)
+        finals = [f for f in os.listdir(d)
+                  if f.startswith("frame_") and f.endswith(".jpg")]
+        assert len(finals) == 4, (vid, sorted(os.listdir(d)))
+
+    log = open(os.path.join("log_result", "chosen_frame.txt")).read()
+    for vid in vids:
+        assert f"the chosen frame index of video {vid} is" in log
+    assert "frame_000000.jpg" in log  # names, not indices (ref format)
+    print(f"serving smoke: {4 * len(vids)} frames in {dt:.1f}s")

@@ -81,6 +81,11 @@ def test_load_clip(dance_root):
     assert clip["verts"].shape == (T_FRAMES, 32, 3)
     assert clip["chosen_frames"].shape == (4,)
     assert clip["src_imgs"].shape == (4, 256, 256, 3)
+    # audit-log names (ref src/data.py:530-535): the clipped chosen
+    # frames' image basenames, in selection order
+    assert clip["chosen_names"] == [
+        "frame_%06d.jpg" % f
+        for f in np.clip(clip["chosen_frames"], 0, 30)]
     assert -1.01 <= clip["src_parts"].min() and clip["src_parts"].max() <= 1.01
 
 

@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def evaluate_dirs(pred_root: str, gt_root: str) -> dict:
+def evaluate_dirs(pred_root: str, gt_root: str, hooks: dict) -> dict:
     import cv2
 
     from jafpro_tpu.evaluate import evaluate_video
@@ -47,7 +47,7 @@ def evaluate_dirs(pred_root: str, gt_root: str) -> dict:
         pd, gd = os.path.join(pred_root, vid), os.path.join(gt_root, vid)
         if not (os.path.isdir(pd) and os.path.isdir(gd)):
             continue
-        m = evaluate_video(read_frames(pd), read_frames(gd))
+        m = evaluate_video(read_frames(pd), read_frames(gd), **hooks)
         results.append(m)
         print(vid, {k: round(v, 4) for k, v in m.items()}, flush=True)
     return {k: float(np.mean([r[k] for r in results])) for k in results[0]}
@@ -93,11 +93,16 @@ def main():
 
     record = {"config": vars(a)}
 
+    # the reference's full 6-metric acceptance stack
+    # (test/video_evaluation.py:184-246): ssim/ms-ssim/psnr/l1 + VGG
+    # perceptual + FlowNetSD temporal flow-consistency L1
+    hooks = cli._metric_hooks()
+
     # 3. BEFORE: random-init params through the same infer path
     print("=== infer (random init) ===", flush=True)
     cli.main(["infer", "-e", "q_none", "-n", str(a.num_refs)])
     shutil.move("test_results/q_none", "pred_before")
-    record["before"] = evaluate_dirs("pred_before", gt_root)
+    record["before"] = evaluate_dirs("pred_before", gt_root, hooks)
     print("before:", record["before"], flush=True)
 
     # 4. the 4-stage curriculum with cross-stage warm starts
@@ -118,12 +123,34 @@ def main():
     print("=== infer (trained) ===", flush=True)
     cli.main(["infer", "-e", "q_s4", "-n", str(a.num_refs)])
     shutil.move("test_results/q_s4", "pred_after")
-    record["after"] = evaluate_dirs("pred_after", gt_root)
+    record["after"] = evaluate_dirs("pred_after", gt_root, hooks)
     print("after:", record["after"], flush=True)
+
+    # 6. propagation ablation: same trained weights, final == the
+    # refine+bg fusion (no SMPL-flow blend) — the flow-consistency delta
+    # vs 'after' is the metric the propagation stage exists to improve
+    # (src/flow_net.py:61-99)
+    print("=== infer (trained, ablate=pro) ===", flush=True)
+    cli.main(["infer", "-e", "q_s4", "-n", str(a.num_refs),
+              "--ablate", "pro"])
+    shutil.move("test_results/q_s4", "pred_after_nopro")
+    record["after_no_propagation"] = evaluate_dirs(
+        "pred_after_nopro", gt_root, hooks)
+    print("after_no_propagation:", record["after_no_propagation"],
+          flush=True)
+
+    # 7. merge the per-stage training loss series into one auditable file
+    with open("quality_losses.jsonl", "w") as lf:
+        for stage in (1, 2, 3, 4):
+            p = os.path.join("checkpoints", f"q_s{stage}", "losses.jsonl")
+            if os.path.exists(p):
+                lf.write(open(p).read())
+    print("wrote quality_losses.jsonl")
 
     for k in record["after"]:
         b, t = record["before"][k], record["after"][k]
-        print(f"{k}: {b:.4f} -> {t:.4f}")
+        np_ = record["after_no_propagation"][k]
+        print(f"{k}: {b:.4f} -> {t:.4f} (no-pro {np_:.4f})")
     with open(a.out, "w") as f:
         json.dump(record, f, indent=1)
     print("wrote", a.out)
