@@ -1,0 +1,103 @@
+"""Measured end-to-end serving throughput (VERDICT r3 weak #5).
+
+Runs the production `cli infer` overlapped serving loop (decode -> device
+generate -> encode, `utils/overlap.py`) over >=8 learnable-fixture clips
+on the current accelerator and records SERVING.json:
+
+    {clips, frames, seconds, frames_per_sec_end_to_end,
+     bench_device_fps, pct_of_device_rate}
+
+`pct_of_device_rate` compares against the device-only rate measured IN THE
+SAME PROCESS by bench.time_pipeline on the same synthetic headline clip
+bench.py times — the round-2 acceptance criterion is >=80%.  The
+reference's own serving loop is strictly serial and prep-dominated
+(``test/conv_pro_test.py:143-163``).
+
+Usage:  python tools/serving_run.py [--clips 8] [--frames 30] [--out SERVING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--fixture", default="",
+                    help="existing fixture root (default: build a fresh one "
+                         "in ./serving_fixture)")
+    ap.add_argument("--out", default="SERVING.json")
+    ap.add_argument("--skip-warm", action="store_true",
+                    help="measure the first pass (includes compiles)")
+    a = ap.parse_args()
+
+    root = a.fixture or os.path.abspath("serving_fixture")
+    if not os.path.isdir(os.path.join(root, "data", "test")):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_fixture import write_fixture
+
+        # test split gets vids_per_mode - 1 clips
+        write_fixture(root, vids_per_mode=a.clips + 1, frames=a.frames,
+                      seed=0)
+
+    os.environ["JAFPRO_DATA_ROOT"] = os.path.join(root, "data")
+    os.environ["JAFPRO_SMPL_ROOT"] = os.path.join(root, "smpl")
+    os.environ["JAFPRO_MASK_ROOT"] = os.path.join(root, "mask")
+
+    from jafpro_tpu import cli
+
+    # 1. device-only rate for the SAME session/hardware: the bench
+    # harness's chained timing on the synthetic headline clip
+    import bench
+
+    device_fps, device_samples, device_spread = bench.time_pipeline(
+        *bench.setup())
+    print(f"device rate: {device_fps:.2f} f/s "
+          f"(spread {100 * device_spread:.1f}%)", flush=True)
+
+    n_clips = len(os.listdir(os.path.join(root, "data", "test")))
+    frames = n_clips * a.frames
+
+    def run_infer(exp):
+        t0 = time.perf_counter()
+        cli.main(["infer", "-e", exp, "-n", "4"])
+        return time.perf_counter() - t0
+
+    # 2. warm pass: compiles (through the persistent XLA cache) + jit
+    # caches; serving latency for a clip mix is a steady-state property
+    if not a.skip_warm:
+        warm_s = run_infer("serving_warm")
+        print(f"warm pass: {warm_s:.1f}s", flush=True)
+        shutil.rmtree("test_results/serving_warm", ignore_errors=True)
+
+    # 3. measured pass
+    seconds = run_infer("serving")
+    fps = frames / seconds
+    pct = 100.0 * fps / device_fps if device_fps else 0.0
+
+    record = {
+        "clips": n_clips,
+        "frames": frames,
+        "seconds": round(seconds, 2),
+        "frames_per_sec_end_to_end": round(fps, 2),
+        "bench_device_fps": round(device_fps, 2),
+        "bench_device_spread_pct": round(100 * device_spread, 1),
+        "pct_of_device_rate": round(pct, 1),
+        "loop": "overlapped (prefetch=2 decode threads, 2 writer threads)",
+    }
+    with open(a.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record), flush=True)
+
+
+if __name__ == "__main__":
+    main()
