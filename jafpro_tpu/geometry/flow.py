@@ -106,6 +106,15 @@ class SMPLFlowEngine:
     # ONLY set by ``adapt_to_clip`` after host-verifying every vertex
     # depth of the clip lies strictly inside (near, far).
     depth_range_checked: bool = False
+    # 2-D (row-band x column-tile) binning on top of the column crop
+    # (rasterizer.select_tile_bins): tile_cols = column-tile width
+    # (0 = 1-D banding); tile_capacity/tile_span are the host-validated
+    # per-tile buckets.  Set by ``adapt_to_clip`` when
+    # ``JAFPRO_RASTER_TILE_COLS`` (or the tile_request field) asks for a
+    # width and the clip validates it.
+    tile_cols: int = 0
+    tile_span: int = 2
+    tile_capacity: int = 1024
 
     @classmethod
     def create(
@@ -167,6 +176,25 @@ class SMPLFlowEngine:
             # (0.685 vs 0.68 it/s), so the compile cost buys nothing there.
             eng = dataclasses.replace(
                 eng, crop_cols=select_crop_cols(fv, self.image_size))
+        # 2-D tiles: opt-in (JAFPRO_RASTER_TILE_COLS=<width>, e.g. 32) on
+        # the copysort path; the clip must validate a per-tile
+        # capacity/span pair (select_tile_bins) or tiling stays off
+        import os
+
+        req = int(os.environ.get("JAFPRO_RASTER_TILE_COLS",
+                                 str(self.tile_cols)) or 0)
+        if req > 0 and eng.bin_impl == "copysort":
+            from jafpro_tpu.geometry.rasterizer import select_tile_bins
+
+            cap2, span2 = select_tile_bins(
+                fv, self.image_size, self.band_rows,
+                crop_cols=eng.crop_cols, tile_cols=req)
+            eng = dataclasses.replace(
+                eng, tile_cols=req if cap2 else 0,
+                tile_capacity=cap2 or eng.tile_capacity,
+                tile_span=span2 or eng.tile_span)
+        else:
+            eng = dataclasses.replace(eng, tile_cols=0)
         return eng
 
     @staticmethod
@@ -192,6 +220,15 @@ class SMPLFlowEngine:
             crop_cols=(0 if any(e.crop_cols == 0 for e in engines)
                        else max(e.crop_cols for e in engines)),
             depth_range_checked=all(e.depth_range_checked for e in engines),
+            # tiling only survives a merge when every clip validated the
+            # SAME (tile width, crop window) pair: per-tile capacity/span
+            # guarantees are stated relative to the raced window width
+            tile_cols=(engines[0].tile_cols
+                       if len({(e.tile_cols, e.crop_cols)
+                               for e in engines}) == 1
+                       else 0),
+            tile_capacity=max(e.tile_capacity for e in engines),
+            tile_span=max(e.tile_span for e in engines),
         )
 
     def _use_pallas(self) -> bool:
@@ -244,6 +281,8 @@ class SMPLFlowEngine:
                 bin_span=self.bin_span,
                 depth_range_checked=self.depth_range_checked,
                 crop_cols=self.crop_cols,
+                tile_cols=self.tile_cols, tile_span=self.tile_span,
+                tile_capacity=self.tile_capacity,
             )
         return fv, fim, wim
 

@@ -189,6 +189,7 @@ def _rasterize_single(
     band_rows: int = 0, band_capacity: int = 4096, depth_mode: str = "exact",
     bin_impl: str = "sort", bin_span: int = 2,
     depth_range_checked: bool = False, crop_cols: int = 0,
+    tile_cols: int = 0, tile_span: int = 2, tile_capacity: int = 1024,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """fv: (F, 3, 3) view-space triangles -> (fim (S,S) int32, wim (S,S,3)).
 
@@ -265,7 +266,37 @@ def _rasterize_single(
 
     if band_rows and S % band_rows == 0:
         nb = S // band_rows
-        K = min(band_capacity, F)
+        # column-crop window (computed before the tables: the 2-D tile
+        # membership needs the window's left edge): static width, per-frame
+        # traced offset from the front-face pixel-x extents (same p coords
+        # the inside tests use).  -1 margin + select_crop_cols' +3 width
+        # margin keep a rounding-marginal edge pixel from ever falling
+        # outside the window.
+        W = crop_cols if 0 < crop_cols < S else S
+        if W < S:
+            px_all = p[:, :, 0]  # (F, 3) pixel-space x
+            okf = front & jnp.all(jnp.isfinite(px_all), axis=1)
+            px_min_all = jnp.min(jnp.where(okf[:, None], px_all, jnp.inf))
+            col0 = jnp.clip(jnp.floor(px_min_all) - 1, 0,
+                            S - W).astype(jnp.int32)
+            col0f = col0.astype(dtype)
+        else:
+            col0, col0f = None, jnp.asarray(0.0, dtype)
+
+        # 2-D (row-band x column-tile) binning: each tile races only the
+        # faces whose x extent overlaps its column range — the face-side
+        # analogue of the pixel-side column crop, reaching the work the
+        # 1-D band capacity can never cull (a band's faces spread over the
+        # body's full width, but each column tile sees a fraction of them).
+        # Membership is bounded with INTEGER pixel coords (floor(px)-1 ..
+        # floor(px)+2, the crop margins), so the host validator
+        # (``select_tile_bins``) mirrors it bitwise.  Only defined on the
+        # copysort form (a per-tile row-sort would be nb*nc sorts).
+        tiled = (0 < tile_cols < W and W % tile_cols == 0
+                 and bin_impl == "copysort" and F <= 16383)
+        nc = (W // tile_cols) if tiled else 1
+        G = nb * nc
+        K = min(tile_capacity if tiled else band_capacity, F)
         # a chunk wider than the band capacity would pad K back up to one
         # full chunk, silently re-inflating the per-band work the capacity
         # was chosen to avoid (non-power-of-two buckets, e.g. 1536)
@@ -277,7 +308,41 @@ def _rasterize_single(
         fy_min = jnp.min(y, axis=1)                       # (F,)
         fy_max = jnp.max(y, axis=1)
         import os
-        if os.environ.get("JAFPRO_RASTER_BIN_DIAG") == "window":
+        if tiled:
+            M, Mc = bin_span, tile_span
+            B0 = jnp.searchsorted(hi, fy_min, side="left").astype(jnp.int32)
+            B1 = (jnp.searchsorted(lo, fy_max, side="right").astype(jnp.int32)
+                  - 1)
+            px = p[:, :, 0]  # (F, 3)
+            okf2 = front & jnp.all(jnp.isfinite(px), axis=1)
+            pxm = jnp.where(okf2[:, None], px, 0.0)
+            cl = jnp.floor(jnp.min(pxm, axis=1)).astype(jnp.int32) - 1
+            cr = jnp.floor(jnp.max(pxm, axis=1)).astype(jnp.int32) + 2
+            col0_i = col0 if col0 is not None else jnp.int32(0)
+            C0 = jnp.clip(cl - col0_i, 0, W - 1) // tile_cols  # (F,)
+            C1 = jnp.clip(cr - col0_i, 0, W - 1) // tile_cols
+            band_j = B0[:, None] + jnp.arange(M, dtype=jnp.int32)[None]
+            tile_t = C0[:, None] + jnp.arange(Mc, dtype=jnp.int32)[None]
+            okg = (okf2[:, None, None]
+                   & (band_j <= B1[:, None])[:, :, None]
+                   & (band_j < nb)[:, :, None]
+                   & (tile_t <= C1[:, None])[:, None, :])    # (F, M, Mc)
+            gidx = band_j[:, :, None] * nc + tile_t[:, None, :]
+            fid = jnp.arange(F, dtype=jnp.int32)[:, None, None]
+            key = jnp.where(okg, gidx * 16384 + fid,
+                            jnp.int32(G * 16384 + 16383))
+            keys_sorted = jnp.sort(key.reshape(-1))          # (F*M*Mc,)
+            offs = jnp.searchsorted(
+                keys_sorted,
+                jnp.arange(G, dtype=jnp.int32) * 16384,
+                side="left").astype(jnp.int32)               # (G,)
+            idx = offs[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+            k2 = keys_sorted[jnp.minimum(idx, F * M * Mc - 1)]
+            in_g = ((idx < F * M * Mc)
+                    & ((k2 // 16384)
+                       == jnp.arange(G, dtype=jnp.int32)[:, None]))
+            ids = jnp.where(in_g, k2 & 16383, jnp.int32(F))  # (G, K)
+        elif os.environ.get("JAFPRO_RASTER_BIN_DIAG") == "window":
             # TIMING DIAGNOSTIC ONLY (bench A/B of the binning cost): skip
             # the per-band membership sort and take a fixed id window per
             # band — downstream shapes/gathers identical, output WRONG.
@@ -338,13 +403,13 @@ def _rasterize_single(
         if depth_mode == "fused":
             # edges live in the precomputed coefficients — no x/y gathers
             xg = yg = None
-            depth_g = (ecoef[safe], qcoef[safe])          # (nb,K,3,3)+(nb,K,3)
+            depth_g = (ecoef[safe], qcoef[safe])          # (G,K,3,3)+(G,K,3)
         elif depth_mode == "affine":
-            xg, yg = x[safe], y[safe]                     # (nb, K, 3)
-            depth_g = (qcoef[safe],)                      # (nb, K, 3)
+            xg, yg = x[safe], y[safe]                     # (G, K, 3)
+            depth_g = (qcoef[safe],)                      # (G, K, 3)
         else:
             xg, yg = x[safe], y[safe]
-            depth_g = (iz[safe], inv[safe])               # + (nb, K, 3, 3)
+            depth_g = (iz[safe], inv[safe])               # + (G, K, 3, 3)
 
         n_chunks = -(-K // chunk)
         pad = n_chunks * chunk - K
@@ -360,29 +425,21 @@ def _rasterize_single(
             valid = jnp.pad(valid, ((0, 0), (0, pad)), constant_values=False)
             safe = jnp.pad(safe, ((0, 0), (0, pad)))
 
-        # column-crop window: static width, per-frame traced offset from
-        # the front-face pixel-x extents (same p coords the inside tests
-        # use).  -1 margin + select_crop_cols' +3 width margin keep a
-        # rounding-marginal edge pixel from ever falling outside the
-        # window (the affine edge tests differ from the exact cross
-        # products only at ~1e-6-relative edge distances).
-        W = crop_cols if 0 < crop_cols < S else S
-        if W < S:
-            px = p[:, :, 0]  # (F, 3) pixel-space x
-            okf = front & jnp.all(jnp.isfinite(px), axis=1)
-            px_min = jnp.min(jnp.where(okf[:, None], px, jnp.inf))
-            col0 = jnp.clip(jnp.floor(px_min) - 1, 0, S - W).astype(jnp.int32)
-            col0f = col0.astype(dtype)
-        else:
-            col0, col0f = None, jnp.asarray(0.0, dtype)
-        Pb = band_rows * W
-        yi_b = jnp.repeat(jnp.arange(band_rows, dtype=dtype), W)  # (Pb,)
-        xi_b = col0f + jnp.tile(jnp.arange(W, dtype=dtype), band_rows)
+        # per-table-entry pixel block: a full window row-band (nc == 1) or
+        # a (band_rows x tile_cols) tile (nc > 1)
+        tw = W // nc
+        Pb = band_rows * tw
+        yi_b = jnp.repeat(jnp.arange(band_rows, dtype=dtype), tw)  # (Pb,)
+        xi_b = col0f + jnp.tile(jnp.arange(tw, dtype=dtype), band_rows)
+        gi = jnp.arange(G, dtype=jnp.int32)
+        r0g = ((gi // nc) * band_rows).astype(dtype)       # (G,) row offsets
+        c0g = ((gi % nc) * tw).astype(dtype)               # (G,) col offsets
 
-        def one_band(xb, yb, depth_b, vb, idb, row0):
+        def one_tile(xb, yb, depth_b, vb, idb, row0, coff):
             yi = yi_b + row0
+            xi = xi_b + coff
             yp = (2.0 * yi + 1 - S) / S
-            xp = (2.0 * xi_b + 1 - S) / S
+            xp = (2.0 * xi + 1 - S) / S
             return _zbuffer_pass(
                 None if xb is None else xb.reshape(n_chunks, chunk, 3),
                 None if yb is None else yb.reshape(n_chunks, chunk, 3),
@@ -391,22 +448,26 @@ def _rasterize_single(
                     depth_b),
                 vb.reshape(n_chunks, chunk),
                 idb.reshape(n_chunks, chunk),
-                xi_b, yi, xp, yp, inv_near, inv_far, depth_mode,
+                xi, yi, xp, yp, inv_near, inv_far, depth_mode,
                 depth_range_checked)
 
-        # lax.map (scan) over bands: only ONE band's (Pb x chunk) temps are
-        # live at a time — a vmap here keeps all nb bands' temporaries
-        # resident, which OOMs the batched training step (2 rasterizations
-        # per iter under a batch-4 GAN step)
+        # lax.map (scan) over bands/tiles: only ONE block's (Pb x chunk)
+        # temps are live at a time — a vmap here keeps all G blocks'
+        # temporaries resident, which OOMs the batched training step (2
+        # rasterizations per iter under a batch-4 GAN step)
         if depth_mode == "fused":
             out = jax.lax.map(
-                lambda t: one_band(None, None, *t),
-                (depth_g, valid, safe, r0))               # ((nb, Pb),)
+                lambda t: one_tile(None, None, *t),
+                (depth_g, valid, safe, r0g, c0g))         # ((G, Pb),)
         else:
             out = jax.lax.map(
-                lambda t: one_band(*t),
-                (xg, yg, depth_g, valid, safe, r0))       # 2 x (nb, Pb)
-        out = tuple(a.reshape(S * W) for a in out)
+                lambda t: one_tile(*t),
+                (xg, yg, depth_g, valid, safe, r0g, c0g)) # 2 x (G, Pb)
+        # (G, Pb) = (nb, nc, band_rows, tw) -> row-major (S, W)
+        out = tuple(
+            a.reshape(nb, nc, band_rows, tw)
+            .transpose(0, 2, 1, 3).reshape(S * W)
+            for a in out)
         P = S * W
         yi = jnp.repeat(jnp.arange(S, dtype=dtype), W)
         xi = col0f + jnp.tile(jnp.arange(W, dtype=dtype), S)
@@ -634,7 +695,76 @@ def column_window_offset(body: jnp.ndarray, width: int) -> jnp.ndarray:
     return jnp.minimum(first, S - width)
 
 
+TILE_CAPACITY_BUCKETS = (192, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+                         4096)
 BIN_SPAN_BUCKETS = (2, 3, 4, 6, 8, 12, 16)
+
+
+def select_tile_bins(
+    face_verts: np.ndarray, image_size: int = 256, band_rows: int = 16,
+    crop_cols: int = 0, tile_cols: int = 32,
+    capacity_buckets: tuple = TILE_CAPACITY_BUCKETS,
+    span_buckets: tuple = BIN_SPAN_BUCKETS,
+) -> tuple:
+    """Validated (tile_capacity, tile_span) buckets for the 2-D
+    (row-band x column-tile) binning at this ``tile_cols`` width, or
+    (0, 0) when no bucket admits every frame (caller keeps 1-D banding).
+
+    Mirrors the device's membership arithmetic bitwise: the same f32
+    ``lo``/``hi`` band comparisons, the same per-frame window left edge
+    ``clip(floor(px_min) - 1, 0, S - W)``, and the same integer column
+    bounds ``floor(px) - 1 .. floor(px) + 2`` (the crop margins) — so a
+    selected pair *guarantees* the tiled tables hold every face the
+    per-tile race could need, i.e. output identical to the untiled race."""
+    fv = np.asarray(face_verts, np.float32)
+    x, y = fv[..., 0], fv[..., 1]
+    front = (y[..., 2] - y[..., 0]) * (x[..., 1] - x[..., 0]) >= (
+        (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0]))
+    S = image_size
+    W = crop_cols if 0 < crop_cols < S else S
+    if tile_cols <= 0 or tile_cols >= W or W % tile_cols \
+            or fv.shape[1] > 16383 or S % band_rows:
+        return 0, 0
+    nb = S // band_rows
+    nc = W // tile_cols
+    r0 = np.arange(nb, dtype=np.float32) * band_rows
+    lo = (2.0 * r0 + 1 - S) / S
+    hi = (2.0 * (r0 + band_rows - 1) + 1 - S) / S
+    fy_min, fy_max = y.min(-1), y.max(-1)
+    px = (0.5 * (x * S + S - 1)).astype(np.float32)  # (B, F, 3)
+    need_cap, need_span = 1, 1
+    for b in range(fv.shape[0]):
+        okf = front[b] & np.isfinite(px[b]).all(-1)
+        if not okf.any():
+            continue
+        B0 = np.searchsorted(hi, fy_min[b], side="left").astype(np.int64)
+        B1 = np.searchsorted(lo, fy_max[b], side="right").astype(np.int64) - 1
+        col0 = (int(np.clip(np.floor(px[b][okf].min()) - 1, 0, S - W))
+                if W < S else 0)
+        pxm = np.where(okf[:, None], px[b], 0.0)
+        cl = np.floor(pxm.min(-1)).astype(np.int64) - 1
+        cr = np.floor(pxm.max(-1)).astype(np.int64) + 2
+        C0 = np.clip(cl - col0, 0, W - 1) // tile_cols
+        C1 = np.clip(cr - col0, 0, W - 1) // tile_cols
+        ok = okf & (B1 >= B0)
+        if not ok.any():
+            continue
+        need_span = max(need_span, int((C1 - C0 + 1)[ok].max()))
+        # per-(band, tile) member counts via a 2-D difference image
+        diff = np.zeros((nb + 1, nc + 1), np.int64)
+        b0, b1 = np.clip(B0[ok], 0, nb - 1), np.clip(B1[ok], 0, nb - 1)
+        c0, c1 = C0[ok], C1[ok]
+        np.add.at(diff, (b0, c0), 1)
+        np.add.at(diff, (b0, c1 + 1), -1)
+        np.add.at(diff, (b1 + 1, c0), -1)
+        np.add.at(diff, (b1 + 1, c1 + 1), 1)
+        counts = diff.cumsum(0).cumsum(1)[:nb, :nc]
+        need_cap = max(need_cap, int(counts.max()))
+    cap = next((c for c in sorted(capacity_buckets) if need_cap <= c), 0)
+    span = next((s for s in sorted(span_buckets) if need_span <= s), 0)
+    if cap == 0 or span == 0:
+        return 0, 0
+    return cap, span
 
 
 def select_bin_span(
@@ -676,7 +806,8 @@ def select_bin_span(
     jax.jit, static_argnames=("image_size", "near", "far", "chunk", "flip_y",
                               "return_depth", "band_rows", "band_capacity",
                               "depth_mode", "bin_impl", "bin_span",
-                              "depth_range_checked", "crop_cols")
+                              "depth_range_checked", "crop_cols",
+                              "tile_cols", "tile_span", "tile_capacity")
 )
 def rasterize_fim_wim(
     face_verts: jnp.ndarray,
@@ -693,6 +824,9 @@ def rasterize_fim_wim(
     bin_span: int = 2,
     depth_range_checked: bool = False,
     crop_cols: int = 0,
+    tile_cols: int = 0,
+    tile_span: int = 2,
+    tile_capacity: int = 1024,
 ):
     """Rasterize (B, F, 3, 3) view-space triangles into per-pixel
     (face_index_map (B, S, S) int32 [-1 = background],
@@ -747,12 +881,21 @@ def rasterize_fim_wim(
     x extents, scattered back into the full canvas — exact whenever every
     frame's extent fits the window (validate per clip with
     ``select_crop_cols``); see ``_rasterize_single``.
+
+    ``0 < tile_cols < crop window`` (copysort path, F <= 16383) further
+    bins faces into (row-band x column-tile) tables of per-tile capacity
+    ``tile_capacity`` with at most ``tile_span`` column tiles per face —
+    each tile then races only its overlapping faces (the face-side cull
+    the 1-D band capacity cannot reach).  Exact whenever the host-selected
+    (``select_tile_bins``) capacity/span admit every frame.
     """
     fn = functools.partial(
         _rasterize_single, image_size=image_size, near=near, far=far,
         chunk=chunk, band_rows=band_rows, band_capacity=band_capacity,
         depth_mode=depth_mode, bin_impl=bin_impl, bin_span=bin_span,
         depth_range_checked=depth_range_checked, crop_cols=crop_cols,
+        tile_cols=tile_cols, tile_span=tile_span,
+        tile_capacity=tile_capacity,
     )
     fim, wim, dim = jax.vmap(fn)(face_verts)
     if flip_y:

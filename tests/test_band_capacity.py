@@ -107,3 +107,66 @@ def test_adapt_to_clip_buckets_and_dense_fallback(smpl_faces):
     import dataclasses
     dense = dataclasses.replace(engine, band_rows=0)
     assert dense.adapt_to_clip(cams, verts) is dense
+
+
+@needs_smpl
+def test_tiled_2d_binning_is_exact(smpl_faces):
+    """2-D (row-band x column-tile) binned output at the host-selected
+    (capacity, span) buckets must equal the dense z-buffer — with AND
+    without the column-crop window (round-4 lever: the tile tables cull
+    the face side of the race beyond what 1-D band capacity reaches)."""
+    from jafpro_tpu.geometry.rasterizer import (
+        select_bin_span, select_crop_cols, select_tile_bins)
+
+    S = 96
+    v = smoothed_topology_vertices(smpl_faces)[None] + np.float32([0, 0, 2])
+    cam = np.asarray([[1.0, 0.0, 0.0]], np.float32)
+    fv = np.asarray(project_to_view(v, cam))[:, smpl_faces]
+    cap = select_band_capacity(fv, S, 16)
+    span = select_bin_span(fv, S, 16)
+    crop = select_crop_cols(fv, S, buckets=(32, 48, 64, 80))
+    fim_d, wim_d = rasterize_fim_wim(fv, image_size=S, chunk=512)
+
+    for crop_cols in (0, crop):
+        tcap, tspan = select_tile_bins(fv, S, 16, crop_cols=crop_cols,
+                                       tile_cols=16)
+        assert tcap and tspan, (crop_cols,)
+        fim_t, wim_t = rasterize_fim_wim(
+            fv, image_size=S, chunk=512, band_rows=16, band_capacity=cap,
+            depth_mode="fused", bin_impl="copysort", bin_span=span,
+            crop_cols=crop_cols, tile_cols=16, tile_span=tspan,
+            tile_capacity=tcap)
+        fim_f, wim_f = rasterize_fim_wim(
+            fv, image_size=S, chunk=512, band_rows=16, band_capacity=cap,
+            depth_mode="fused", bin_impl="copysort", bin_span=span,
+            crop_cols=crop_cols)
+        # tiled == untiled fused (bitwise: same candidates reach the race)
+        np.testing.assert_array_equal(np.asarray(fim_t), np.asarray(fim_f))
+        np.testing.assert_allclose(np.asarray(wim_t), np.asarray(wim_f))
+        # and == dense/exact up to the fused race's documented z-fight
+        # tolerance: identical here in practice
+        same = np.mean(np.asarray(fim_t) == np.asarray(fim_d))
+        assert same > 0.999, same
+
+
+@needs_smpl
+def test_adapt_to_clip_selects_tiles_when_requested(smpl_faces, monkeypatch):
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+
+    engine = SMPLFlowEngine.create(faces=smpl_faces, image_size=256)
+    v = smoothed_topology_vertices(smpl_faces)
+    verts = np.stack([v, v + np.float32([0.01, 0, 0])]) + np.float32([0, 0, 2])
+    cams = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (2, 1))
+
+    monkeypatch.setenv("JAFPRO_RASTER_TILE_COLS", "32")
+    adapted = engine.adapt_to_clip(cams, verts)
+    assert adapted.tile_cols == 32
+    # on the proxy mesh the column distribution is degenerate (one tile
+    # holds ~90% of the faces), so the selected per-tile capacity can
+    # equal the band capacity — exactness, not speedup, is the guarantee
+    assert adapted.tile_capacity <= adapted.band_capacity
+    assert adapted.tile_span >= 1
+
+    monkeypatch.setenv("JAFPRO_RASTER_TILE_COLS", "0")
+    off = engine.adapt_to_clip(cams, verts)
+    assert off.tile_cols == 0
