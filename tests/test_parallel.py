@@ -1,6 +1,8 @@
 """Mesh/sharding helpers on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -49,3 +51,80 @@ def test_replicate():
     tree = {"a": jnp.arange(6.0).reshape(2, 3)}
     rep = replicate(mesh, tree)
     assert rep["a"].sharding.is_fully_replicated
+
+
+# ---------------------------------------------------------------------------
+# Sharded == unsharded for the REAL training steps (VERDICT r3 weak #4):
+# the dryrun proves the sharded step *runs*; these prove it computes the
+# same update as the single-device step — DataParallel's implicit contract
+# (reference train/4.convLSTM_flowpro_interval.py:123-162).
+# ---------------------------------------------------------------------------
+
+def _tiny_real_pipe():
+    """The multichip dryrun's tiny-shape production pipeline
+    (mirrors ``__graft_entry__._dryrun_impl``)."""
+    from jafpro_tpu.config import Config
+    from jafpro_tpu.geometry.flow import SMPLFlowEngine
+    from jafpro_tpu.pipeline import JAFProPipeline
+    from jafpro_tpu.train.common import synthetic_quad_mesh
+
+    cfg = Config(image_size=32, part_size=4, maximum_ref_frames=1,
+                 face_crop_size=8, compute_dtype="float32",
+                 rasterizer_face_chunk=32, part_conv_impl="groups",
+                 accu_ref_major=True)
+    verts, faces = synthetic_quad_mesh(6)
+    engine = SMPLFlowEngine.create(faces=faces, image_size=32, chunk=32,
+                                   band_rows=0)
+    return JAFProPipeline(cfg, flow_engine=engine), verts
+
+
+def _tiny_batch(verts, batch):
+    from jafpro_tpu.train.common import synthetic_batch
+
+    rng = np.random.RandomState(0)
+    b = synthetic_batch(rng, batch=batch, num_refs=1, part_size=4,
+                        image_size=32, num_verts=verts.shape[0])
+    b["prev_verts"] = np.tile(verts[None], (batch, 1, 1))
+    b["tgt_verts"] = b["prev_verts"] + np.asarray([0.05, 0, 0], np.float32)
+    return b
+
+
+def _assert_step_sharded_equal(stage: int, n_dev: int, atol: float):
+    from jafpro_tpu.cli import _make_step
+    from jafpro_tpu.train import TrainState
+
+    pipe, verts = _tiny_real_pipe()
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    step_fn, lrs = _make_step(pipe, stage)
+    batch_np = _tiny_batch(verts, batch=n_dev)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    ref_state, ref_metrics = jax.jit(step_fn)(
+        TrainState.create(params, lrs), batch)
+
+    mesh = create_mesh(n_dev, ("data",))
+    dp = data_parallel_jit(step_fn, mesh, donate_state=False)
+    dp_state, dp_metrics = dp(TrainState.create(params, lrs), batch)
+
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=1e-5, atol=atol)
+    flat_ref, _ = jax.tree_util.tree_flatten(ref_state.params)
+    flat_dp, _ = jax.tree_util.tree_flatten(dp_state.params)
+    assert len(flat_ref) == len(flat_dp)
+    for a, b in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=atol)
+
+
+@pytest.mark.slow
+def test_stage1_step_sharded_equals_unsharded():
+    """Texture stage: 2-device DP must reproduce the 1-device update."""
+    _assert_step_sharded_equal(stage=1, n_dev=2, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_stage4_step_sharded_equals_unsharded():
+    """FULL stage-4 GAN step (G + 3 D steps + FD + remat + SMPL-flow):
+    2-device DP must reproduce the 1-device params/metrics."""
+    _assert_step_sharded_equal(stage=4, n_dev=2, atol=5e-5)
