@@ -9,7 +9,7 @@ Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   (each arg is
   BAND_CAPACITY:FRAME_BATCH:RASTER_MODE[:BAND_ROWS[:FLOW_MODE[:WARP_MODE[
   :DEPTH_MODE[:PART_CONV[:BIN_IMPL[:RANGE_CHECKED[:CROP_COLS[:WARP_CROP[
-  :FLOW_CROP]]]]]]]]]];
+  :FLOW_CROP[:TILE_COLS]]]]]]]]]]];
   capacity 'auto' = the measured per-clip bucket selection, the production
   default; BAND_ROWS defaults to 16, FLOW_MODE to scan, WARP_MODE to lut,
   DEPTH_MODE to fused, PART_CONV to blocks8; BIN_IMPL/RANGE_CHECKED/
@@ -17,7 +17,10 @@ Usage: python -u bench_sweep.py 'auto:1:scan' '1024:1:scan' 'auto:1:batch:8'
   0/1, and a width (0 = full) to pin; WARP_CROP pins the texture-warp
   column window (0 = full width, default = the select_mask_crop_cols
   bucket); FLOW_CROP 0/1 gates the bc-transform + source-warp crop
-  (default 1)).
+  (default 1); TILE_COLS requests 2-D (row-band x column-tile) binning at
+  that tile width via JAFPRO_RASTER_TILE_COLS (0/absent = 1-D banding;
+  adapt_to_clip still validates the clip and falls back to 1-D if no
+  per-tile bucket is exact)).
 """
 
 import json
@@ -44,6 +47,7 @@ def main():
         crop = parts[10] if len(parts) > 10 else ""
         warp_crop = parts[11] if len(parts) > 11 else ""
         flow_crop = parts[12] if len(parts) > 12 else ""
+        tile_cols = parts[13] if len(parts) > 13 else ""
         os.environ["BENCH_BAND_CAPACITY"] = cap
         os.environ["BENCH_FRAME_BATCH"] = fb
         os.environ["BENCH_RASTER_MODE"] = mode
@@ -56,7 +60,8 @@ def main():
                          ("BENCH_RANGE_CHECKED", rangechk),
                          ("BENCH_CROP_COLS", crop),
                          ("BENCH_WARP_CROP", warp_crop),
-                         ("BENCH_FLOW_CROP", flow_crop)):
+                         ("BENCH_FLOW_CROP", flow_crop),
+                         ("JAFPRO_RASTER_TILE_COLS", tile_cols)):
             if val:
                 os.environ[key] = val
             else:
@@ -65,7 +70,7 @@ def main():
               f"flow={flow} warp={warp} depth={depth} pconv={pconv} "
               f"bin={bin_impl or 'adapt'} rangechk={rangechk or 'adapt'} "
               f"crop={crop or 'adapt'} warp_crop={warp_crop or 'adapt'} "
-              f"flow_crop={flow_crop or '1'} ===",
+              f"flow_crop={flow_crop or '1'} tile_cols={tile_cols or '0'} ===",
               file=sys.stderr)
         t0 = time.time()
         bench.main()

@@ -36,6 +36,21 @@ def _frame_number(path: str) -> int:
     return int(m[-1]) if m else 0
 
 
+def _atlas_to_parts_np(atlas: np.ndarray, part_size: int = 200) -> np.ndarray:
+    """(B, 4*p, 6*p, C) -> (B, 24, p, p, C), host-side.
+
+    NumPy twin of ``texture.atlas_to_parts`` (same reshape/transpose, no
+    compute): the host input pipeline must never dispatch to the default
+    device — under the remote-TPU runtime a per-sample device round trip
+    for a reshape turns packing into tunnel RPCs (and a CPU-starved claim
+    handshake can wedge the chip lease for every later process)."""
+    B, H, W, C = atlas.shape
+    rows, cols = H // part_size, W // part_size
+    x = atlas.reshape(B, rows, part_size, cols, part_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(B, rows * cols, part_size, part_size, C))
+
+
 def list_clip_files(vid_path: str) -> Dict[str, List[str]]:
     """Split a clip directory into sorted image/IUV/texture/mask lists."""
     files = {"img": [], "iuv": [], "text": [], "mask": []}
@@ -108,16 +123,9 @@ def load_clip(
     smpl_mask = np.stack(
         [_imread(p)[..., :1] for p in rm_files]).astype(np.float32) / 255.0
 
-    # mask-in-image of the first reference (for bg synthesis)
-    from jafpro_tpu.data.texture import texture_warp as _  # noqa: F401
-
-    # parts layout
-    from jafpro_tpu.data.texture import atlas_to_parts
-    import jax.numpy as jnp
-
-    src_parts = np.asarray(atlas_to_parts(jnp.asarray(texture), 200))
-    mask_parts = np.asarray(
-        atlas_to_parts(jnp.asarray(masks[..., None]), 200))[..., 0]
+    # parts layout (host-side reshape; see _atlas_to_parts_np)
+    src_parts = _atlas_to_parts_np(texture, 200)
+    mask_parts = _atlas_to_parts_np(masks[..., None], 200)[..., 0]
 
     first_iuv = iuv[frames[0]]
     in_image = (first_iuv[..., 0] > 0).astype(np.float32)[..., None]
@@ -208,10 +216,6 @@ def load_textonly_sample(
     """Stage-1/2 sample (reference ``Fusion_dataset_textonly``
     ``src/data.py:187-258``): random disjoint reference+target frames; the
     800x1200 atlases and masks are returned as 24-part stacks."""
-    import jax.numpy as jnp
-
-    from jafpro_tpu.data.texture import atlas_to_parts
-
     files = list_clip_files(os.path.join(data_dir, vid_name))
     T = len(files["text"])
     frames = sample_frame_indices(T, rng, num_inputs, num_target,
@@ -224,8 +228,7 @@ def load_textonly_sample(
             arr = (arr / 255.0)[..., None]
         else:
             arr = (arr / 255.0 - 0.5) * 2.0
-        parts = np.asarray(atlas_to_parts(jnp.asarray(arr), 200))
-        return parts
+        return _atlas_to_parts_np(arr, 200)
 
     src_idx = frames[num_target:]
     tgt_idx = frames[:num_target]
@@ -246,10 +249,6 @@ def load_interval_sample(
     ``src/data.py:608-776``): images + IUVs + atlases + SMPL params for
     random disjoint frames, assembled into the stage batch contract
     (prev-frame fields are filled by the curriculum sampler)."""
-    import jax.numpy as jnp
-
-    from jafpro_tpu.data.texture import atlas_to_parts
-
     files = list_clip_files(os.path.join(data_dir, vid_name))
     T = len(files["img"])
     frames = rng.choice(T, num_inputs + num_target, replace=False)
@@ -259,9 +258,8 @@ def load_interval_sample(
     tex = (tex / 255.0 - 0.5) * 2.0
     masks = np.stack(
         [_imread(files["mask"][i])[..., 0] for i in src_idx]).astype(np.float32) / 255.0
-    src_parts = np.asarray(atlas_to_parts(jnp.asarray(tex), 200))
-    mask_parts = np.asarray(
-        atlas_to_parts(jnp.asarray(masks[..., None]), 200))[..., 0]
+    src_parts = _atlas_to_parts_np(tex, 200)
+    mask_parts = _atlas_to_parts_np(masks[..., None], 200)[..., 0]
 
     def read_imgs(paths, idxs):
         a = np.stack([_imread(paths[i]) for i in idxs]).astype(np.float32)
