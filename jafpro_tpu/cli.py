@@ -232,6 +232,10 @@ def cmd_train(args) -> None:
         cfg.maximum_ref_frames = 2
     if args.batch_size:
         cfg.batch_size = args.batch_size
+    elif args.stage == 2:
+        # the reference's stage-2 schedule trains batch 2 (train/2:64);
+        # stages 1/3/4 keep the options.py batch 4
+        cfg.batch_size = 2
     # per-ref unrolled AccumulateLSTM + per-step remat: same numerics and
     # per-sample speed, ~1.4G lower peak HBM — lets the reference's batch-4
     # stage-4 config train on ONE chip (TUNING.md; models/accumulate.py)
@@ -287,10 +291,34 @@ def cmd_train(args) -> None:
     loss_log = open(os.path.join(ckpt_dir, "losses.jsonl"),
                     "a" if start_it else "w")
 
+    # double-buffered host->device pipeline: a worker thread reads,
+    # curriculum-samples, and device_puts batch i+1 while the device runs
+    # step i, so per-iter wall time is max(step, read+transfer) instead of
+    # their sum (the reference gets the read half of this from DataLoader
+    # workers, train/4:199-200; the H2D half matters far more on the
+    # remote-TPU transport).  One worker keeps the rng consumption order
+    # identical to the serial loop.
+    import queue
+    import threading
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def _feed():
+        try:
+            for _ in range(args.iters):
+                b = apply_curriculum(dict(next_raw()), args.stage, rng,
+                                     cfg.maximum_ref_frames)
+                batch_q.put({k: jnp.asarray(v) for k, v in b.items()})
+            batch_q.put(None)
+        except BaseException as e:  # surface reader errors in the main loop
+            batch_q.put(e)
+
+    threading.Thread(target=_feed, daemon=True).start()
+
     for it in range(start_it, start_it + args.iters):
-        b = apply_curriculum(dict(next_raw()), args.stage, rng,
-                             cfg.maximum_ref_frames)
-        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        batch = batch_q.get()
+        if isinstance(batch, BaseException):
+            raise batch
 
         with step_timer() as t:
             state, metrics = step(state, batch)

@@ -21,7 +21,12 @@ class Config:
     use_fix_interval: bool = False
     num_ref_frames: int = 3
     maximum_ref_frames: int = 4
-    num_target: int = 1
+    # targets per textonly sample (reference options.py:23; train/1:57 keeps
+    # 3).  The stage-3/4 interval loaders pass 1 explicitly — this knob
+    # feeds the stage-1/2 loaders and the textonly shard spec, and MUST
+    # match the value the shards were packed with (the reader now verifies
+    # record-size divisibility and refuses mismatched shards)
+    num_target: int = 3
     test_num_inputs: int = 1
     num_outputs: int = 2
     fix_frame: bool = True

@@ -112,6 +112,14 @@ class ShardReader:
         self.spec = list(spec)
         self.batch = batch
         self.rb = record_bytes(spec)
+        for p in paths:
+            sz = os.path.getsize(p)
+            if sz % self.rb:
+                raise IOError(
+                    f"{p}: size {sz} is not a multiple of the record size "
+                    f"{self.rb} — the shard was packed under a different "
+                    "spec (e.g. the pre-uint8 float32 format); re-run "
+                    "`cli pack`")
         lib = _lib()
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
@@ -152,18 +160,26 @@ class ShardReader:
 def interval_spec(num_refs: int = 4, image_size: int = 256,
                   part_size: int = 200, num_parts: int = 24,
                   num_verts: int = 6890) -> Spec:
-    """Record layout for stage-3/4 training samples."""
+    """Record layout for stage-3/4 training samples.
+
+    Image-like fields are stored uint8 (the decoded PNG/JPEG bytes) and
+    normalized ON DEVICE (``train.common.normalize_batch``): the remote-TPU
+    transport makes H2D bandwidth the per-iteration floor, and shipping
+    float32 copies of uint8 sources quadruples both the wire bytes and the
+    shard-file reads for zero information.  ``tgt_iuv`` is not stored at
+    all — it is ``(tgt_iuv255/255 - .5)*2``, derived on device.
+    ``bg_incomplete`` stays float32: it carries unclipped Gaussian noise
+    (reference ``train/4:230-231``)."""
     S, p, P, R = image_size, part_size, num_parts, num_refs
     return [
-        ("src_parts", (R, P, p, p, 3), "float32"),
-        ("src_mask_parts", (R, P, p, p), "float32"),
-        ("tgt_iuv255", (1, S, S, 3), "float32"),
-        ("tgt_iuv", (1, S, S, 3), "float32"),
-        ("tgt_img", (1, S, S, 3), "float32"),
-        ("src_img_first", (1, S, S, 3), "float32"),
-        ("src_imgs", (R, S, S, 3), "float32"),
+        ("src_parts", (R, P, p, p, 3), "uint8"),
+        ("src_mask_parts", (R, P, p, p), "uint8"),
+        ("tgt_iuv255", (1, S, S, 3), "uint8"),
+        ("tgt_img", (1, S, S, 3), "uint8"),
+        ("src_img_first", (1, S, S, 3), "uint8"),
+        ("src_imgs", (R, S, S, 3), "uint8"),
         ("bg_incomplete", (1, S, S, 3), "float32"),
-        ("smpl_mask", (1, S, S, 1), "float32"),
+        ("smpl_mask", (1, S, S, 1), "uint8"),
         ("face_bbox", (1, 4), "float32"),
         ("src_cams", (R, 3), "float32"),
         ("src_verts", (R, num_verts, 3), "float32"),
@@ -178,6 +194,27 @@ def interval_spec(num_refs: int = 4, image_size: int = 256,
 _SINGLE_TARGET_FIELDS = frozenset({
     "tgt_iuv255", "tgt_iuv", "tgt_img", "src_img_first", "bg_incomplete",
     "smpl_mask", "face_bbox", "tgt_cam", "tgt_verts"})
+
+# uint8 wire encoding by field semantics (see train.common.normalize_batch
+# for the device-side inverse): symmetric (-1,1) images, (0,1) masks, and
+# raw 0..255 IUV codes
+U8_SYMMETRIC_FIELDS = frozenset({
+    "src_parts", "tgt_parts", "tgt_img", "src_img_first", "src_imgs",
+    "prev_img"})
+U8_UNIT_FIELDS = frozenset({
+    "src_mask_parts", "tgt_mask_parts", "smpl_mask"})
+U8_RAW_FIELDS = frozenset({"tgt_iuv255"})
+
+
+def encode_field_u8(name: str, value: np.ndarray) -> np.ndarray:
+    """Float sample field -> its uint8 wire form (exact for PNG-derived
+    values: the loaders compute u/255*2-1 and u/255, both of which
+    round-trip through the rounding below bit-exactly)."""
+    if name in U8_SYMMETRIC_FIELDS:
+        return np.rint((value + 1.0) * 0.5 * 255.0).astype(np.uint8)
+    if name in U8_UNIT_FIELDS:
+        return np.rint(value * 255.0).astype(np.uint8)
+    return np.rint(value).astype(np.uint8)  # raw 0..255 codes
 
 
 def collapse_target_dims(spec: Spec, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -195,13 +232,16 @@ def collapse_target_dims(spec: Spec, batch: Dict[str, np.ndarray]) -> Dict[str, 
 
 def textonly_spec(num_refs: int = 4, num_target: int = 3,
                   part_size: int = 200, num_parts: int = 24) -> Spec:
-    """Record layout for stage-1/2 (texture-only) training samples."""
+    """Record layout for stage-1/2 (texture-only) training samples.
+
+    uint8 wire format, normalized on device — see ``interval_spec``;
+    a float32 textonly record is 107 MB/sample, this one is 27 MB."""
     p, P, R, T = part_size, num_parts, num_refs, num_target
     return [
-        ("src_parts", (R, P, p, p, 3), "float32"),
-        ("src_mask_parts", (R, P, p, p), "float32"),
-        ("tgt_parts", (T, P, p, p, 3), "float32"),
-        ("tgt_mask_parts", (T, P, p, p), "float32"),
+        ("src_parts", (R, P, p, p, 3), "uint8"),
+        ("src_mask_parts", (R, P, p, p), "uint8"),
+        ("tgt_parts", (T, P, p, p, 3), "uint8"),
+        ("tgt_mask_parts", (T, P, p, p), "uint8"),
     ]
 
 
@@ -257,6 +297,8 @@ def pack_dancevideo(
                     v = s[name]
                     if v.shape != tuple(shape):  # strip/add batch dims
                         v = v.reshape(shape)
+                    if dtype == "uint8" and v.dtype != np.uint8:
+                        v = encode_field_u8(name, v)
                     rec[name] = v
                 yield rec
 

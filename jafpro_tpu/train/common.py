@@ -123,6 +123,38 @@ def apply_curriculum(
     return batch
 
 
+def normalize_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Device-side inverse of the uint8 shard wire format (traced inside the
+    step jit; see ``data.shardio.encode_field_u8``).
+
+    uint8 fields expand to their float semantics — symmetric (-1,1) images,
+    (0,1) masks, raw 0..255 IUV codes — and ``tgt_iuv`` is derived from
+    ``tgt_iuv255`` when absent.  float32 batches (synthetic sources, tests,
+    the per-sample loader path) pass through unchanged, so every step
+    function accepts both formats.  Rationale: the H2D hop is the training
+    loop's bandwidth floor on the remote-TPU transport; normalization is
+    free VPU work fused into the first consumers."""
+    from jafpro_tpu.data.shardio import (
+        U8_RAW_FIELDS, U8_SYMMETRIC_FIELDS, U8_UNIT_FIELDS)
+
+    out = dict(batch)
+    for k, v in batch.items():
+        if v.dtype != jnp.uint8:
+            continue
+        f = v.astype(jnp.float32)
+        if k in U8_SYMMETRIC_FIELDS:
+            out[k] = f / 255.0 * 2.0 - 1.0
+        elif k in U8_UNIT_FIELDS:
+            out[k] = f / 255.0
+        elif k in U8_RAW_FIELDS:
+            out[k] = f
+        else:  # unknown uint8 field: value-preserving float cast
+            out[k] = f
+    if "tgt_iuv" not in out and "tgt_iuv255" in out:
+        out["tgt_iuv"] = (out["tgt_iuv255"] / 255.0 - 0.5) * 2.0
+    return out
+
+
 # ---------------------------------------------------------------------------
 # synthetic data (tests / benchmarks without the DanceVideo dataset)
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from jafpro_tpu.losses import l1
 from jafpro_tpu.pipeline import JAFProPipeline
-from jafpro_tpu.train.common import TrainState, multistep_lr
+from jafpro_tpu.train.common import TrainState, multistep_lr, normalize_batch
 
 
 def stage1_lrs():
@@ -40,6 +40,7 @@ def make_stage1_step(pipe: JAFProPipeline):
         return total
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        batch = normalize_batch(batch)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params["accu"], batch)
         state = state.apply_gradients({"accu": grads})

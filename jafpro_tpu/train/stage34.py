@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from jafpro_tpu.losses import bce, bce_masked, vgg_l1_loss
 from jafpro_tpu.pipeline import JAFProPipeline, crop_faces
-from jafpro_tpu.train.common import TrainState
+from jafpro_tpu.train.common import TrainState, normalize_batch
 
 
 def stage3_lrs():
@@ -110,6 +110,7 @@ def _make_gan_step(pipe: JAFProPipeline, *, with_propagation: bool,
         return total, (final, metrics)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        batch = normalize_batch(batch)
         params = state.params
         gen_params = {k: params[k] for k in gen_modules}
         frozen = {k: v for k, v in params.items() if k not in gen_modules}

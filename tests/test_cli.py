@@ -49,7 +49,10 @@ def _shard_of_interval_records(path, n=6, num_refs=2, image_size=64,
                     v = np.repeat(verts[None], num_refs, axis=0)
                 else:
                     v = b[name]
-                rec[name] = np.asarray(v, dtype).reshape(shape)
+                v = np.asarray(v, np.float32).reshape(shape)
+                if dtype == "uint8":
+                    v = shardio.encode_field_u8(name, v)
+                rec[name] = np.asarray(v, dtype)
             rec["tgt_verts"] = verts[None] + np.float32([0.02, 0, 0])
             yield rec
 

@@ -86,3 +86,59 @@ def test_content_integrity(shard):
         np.testing.assert_allclose(batch["img"][0], samples[i]["img"])
         np.testing.assert_array_equal(batch["label"][0], samples[i]["label"])
     r.close()
+
+
+def test_uint8_wire_format_roundtrip_exact():
+    """The uint8 shard encoding must be bit-exact for PNG-derived values:
+    loaders compute u/255*2-1 (textures/images) and u/255 (masks); encode
+    (shardio.encode_field_u8) then device-decode (train.common
+    .normalize_batch) must reproduce the float32 field exactly."""
+    import jax.numpy as jnp
+
+    from jafpro_tpu.train.common import normalize_batch
+
+    u = np.arange(256, dtype=np.uint8)
+    img_f = u.astype(np.float32) / 255.0 * 2.0 - 1.0
+    mask_f = u.astype(np.float32) / 255.0
+    enc_img = shardio.encode_field_u8("src_parts", img_f)
+    enc_mask = shardio.encode_field_u8("src_mask_parts", mask_f)
+    np.testing.assert_array_equal(enc_img, u)
+    np.testing.assert_array_equal(enc_mask, u)
+
+    out = normalize_batch({
+        "src_parts": jnp.asarray(enc_img),
+        "src_mask_parts": jnp.asarray(enc_mask),
+        "tgt_iuv255": jnp.asarray(u),
+    })
+    np.testing.assert_array_equal(np.asarray(out["src_parts"]), img_f)
+    np.testing.assert_array_equal(np.asarray(out["src_mask_parts"]), mask_f)
+    np.testing.assert_array_equal(np.asarray(out["tgt_iuv255"]),
+                                  u.astype(np.float32))
+    # tgt_iuv is derived on device, not stored
+    np.testing.assert_array_equal(
+        np.asarray(out["tgt_iuv"]),
+        (u.astype(np.float32) / 255.0 - 0.5) * 2.0)
+
+
+def test_normalize_batch_float_passthrough():
+    """float32 batches (synthetic/tests/per-sample loads) are untouched."""
+    import jax.numpy as jnp
+
+    from jafpro_tpu.train.common import normalize_batch
+
+    b = {"src_parts": jnp.linspace(-1, 1, 7, dtype=jnp.float32),
+         "tgt_iuv": jnp.zeros((3,), jnp.float32)}
+    out = normalize_batch(b)
+    assert out["src_parts"] is b["src_parts"]
+    assert out["tgt_iuv"] is b["tgt_iuv"]
+
+
+def test_stale_float32_shard_rejected(tmp_path):
+    """A shard packed under a different record layout (e.g. the old float32
+    wire format) must be rejected loudly, not read as garbage."""
+    spec = [("x", (3,), "uint8")]
+    path = str(tmp_path / "bad.shard")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 7)  # not a multiple of the 3-byte record
+    with pytest.raises(IOError, match="different spec"):
+        shardio.ShardReader(spec, [path], batch=1)

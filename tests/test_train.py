@@ -395,3 +395,32 @@ def test_video_generator_raster_mode_invariance(setup):
     for k in ("final", "coarse", "mask", "tsf"):
         np.testing.assert_array_equal(np.asarray(out_scan[k]),
                                       np.asarray(out_flow[k]), err_msg=k)
+
+
+def test_stage2_step_consumes_reference_target_count(setup):
+    """Stage 2 trains on 2 targets (reference train/2:62) even though
+    textonly records carry the stage-1 schedule's 3 (options.py:23): the
+    loss must be invariant to the third target and sensitive to the
+    second."""
+    from jafpro_tpu.train.common import synthetic_batch
+
+    pipe, params, _ = setup
+    rng = np.random.RandomState(11)
+    b = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, batch=1, num_refs=2, part_size=16, image_size=64,
+        num_verts=36, num_targets=3).items()}
+    state = TrainState.create(params, stage2_lrs())
+    step = jax.jit(make_stage2_step(pipe))  # default num_target=2
+
+    _, m0 = step(state, b)
+    # perturb target 3 only -> identical loss
+    b3 = dict(b)
+    b3["tgt_parts"] = b["tgt_parts"].at[:, 2].add(0.5)
+    b3["tgt_mask_parts"] = b["tgt_mask_parts"].at[:, 2].set(1.0)
+    _, m3 = step(state, b3)
+    assert float(m0["loss"]) == float(m3["loss"])
+    # perturb target 2 -> loss changes
+    b2 = dict(b)
+    b2["tgt_parts"] = b["tgt_parts"].at[:, 1].add(0.5)
+    _, m2 = step(state, b2)
+    assert float(m0["loss"]) != float(m2["loss"])
