@@ -176,13 +176,17 @@ class SMPLFlowEngine:
             # (0.685 vs 0.68 it/s), so the compile cost buys nothing there.
             eng = dataclasses.replace(
                 eng, crop_cols=select_crop_cols(fv, self.image_size))
-        # 2-D tiles: opt-in (JAFPRO_RASTER_TILE_COLS=<width>, e.g. 32) on
-        # the copysort path; the clip must validate a per-tile
-        # capacity/span pair (select_tile_bins) or tiling stays off
+        # 2-D (row-band x column-tile) binning on the copysort path; the
+        # clip must validate a per-tile capacity/span pair
+        # (select_tile_bins) or tiling stays off.  Production default is
+        # 64-px tiles (in-session A/B, TUNING.md round 4: +8-10% on the
+        # headline clip across two sessions, within noise on the fixture
+        # clip; 32-px tiles measured SLOWER and stay opt-in).  Pin with
+        # JAFPRO_RASTER_TILE_COLS (0 disables).
         import os
 
-        req = int(os.environ.get("JAFPRO_RASTER_TILE_COLS",
-                                 str(self.tile_cols)) or 0)
+        spec = os.environ.get("JAFPRO_RASTER_TILE_COLS", "")
+        req = int(spec) if spec else (self.tile_cols or 64)
         if req > 0 and eng.bin_impl == "copysort":
             from jafpro_tpu.geometry.rasterizer import select_tile_bins
 
