@@ -178,15 +178,18 @@ class SMPLFlowEngine:
                 eng, crop_cols=select_crop_cols(fv, self.image_size))
         # 2-D (row-band x column-tile) binning on the copysort path; the
         # clip must validate a per-tile capacity/span pair
-        # (select_tile_bins) or tiling stays off.  Production default is
-        # 64-px tiles (in-session A/B, TUNING.md round 4: +8-10% on the
-        # headline clip across two sessions, within noise on the fixture
-        # clip; 32-px tiles measured SLOWER and stay opt-in).  Pin with
-        # JAFPRO_RASTER_TILE_COLS (0 disables).
+        # (select_tile_bins) or tiling stays off.  OPT-IN
+        # (JAFPRO_RASTER_TILE_COLS=<width>; the width must divide the
+        # raced window or validation rejects it): measured A/Bs found no
+        # win at any valid width on either bench workload and a clear
+        # loss at 32 px — the round-3 column crop already bounds the
+        # x-extent, and within the 96-px body window the per-tile cull
+        # removes too few faces to pay for the extra tables
+        # (TUNING.md round 4).
         import os
 
-        spec = os.environ.get("JAFPRO_RASTER_TILE_COLS", "")
-        req = int(spec) if spec else (self.tile_cols or 64)
+        req = int(os.environ.get("JAFPRO_RASTER_TILE_COLS",
+                                 str(self.tile_cols)) or 0)
         if req > 0 and eng.bin_impl == "copysort":
             from jafpro_tpu.geometry.rasterizer import select_tile_bins
 
