@@ -397,7 +397,7 @@ def cmd_infer(args) -> None:
             p = pipe if eng is base_engine else \
                 JAFProPipeline(cfg, flow_engine=eng)
             _gens[key] = VideoGenerator(p, warp_crop_cols=warp_cols,
-                                        ablate=ablate)
+                                        ablate=ablate, output_uint8=True)
         return _gens[key]
 
     import cv2
@@ -411,8 +411,9 @@ def cmd_infer(args) -> None:
         finals = frames_to_uint8(pick(out["final"]))
         coarse = frames_to_uint8(pick(out["coarse"]))
         tsf = frames_to_uint8(pick(out["tsf"]))
-        masks = np.clip(np.asarray(pick(out["mask"])) * 255, 0,
-                        255).astype(np.uint8)
+        masks = np.asarray(pick(out["mask"]))
+        if masks.dtype != np.uint8:  # output_uint8 generators pre-encode
+            masks = np.clip(masks * 255, 0, 255).astype(np.uint8)
         for i in range(finals.shape[0]):
             cv2.imwrite(os.path.join(save_dir, f"frame_{i:03d}.jpg"), finals[i])
             cv2.imwrite(os.path.join(save_dir, f"coarse_frame_{i:03d}.jpg"),
@@ -464,10 +465,11 @@ def cmd_infer(args) -> None:
 
         def load_group(group):
             clips_np = [load_one(v) for v in group]
-            return clips_np, [adapt_engine(c) for c in clips_np]
+            adapted = [adapt_engine(c) for c in clips_np]
+            return [to_device(c) for c in clips_np], adapted
 
         def compute_group(group, loaded):
-            clips_np, adapted = loaded
+            clips_dev, adapted = loaded
             engines = [e for e, _ in adapted]
             # the warp window merges by the crop_cols rule: any clip that
             # fit no bucket (0) forces full width, else the widest wins
@@ -480,7 +482,7 @@ def cmd_infer(args) -> None:
             gen = gen_for_engine(SMPLFlowEngine.merge_conservative(engines),
                                  warp_cols)
             clips = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[to_device(c) for c in clips_np])
+                lambda *xs: jnp.stack(xs), *clips_dev)
             return gen.generate_batch(params, clips, mesh=mesh)
 
         def write_group(group, out):
@@ -494,15 +496,36 @@ def cmd_infer(args) -> None:
 
     def load_single(vid):
         clip_np = load_one(vid)
-        return clip_np, adapt_engine(clip_np)
+        eng, warp_cols = adapt_engine(clip_np)
+        # H2D in the prefetch thread: the clip transfer (uint8 wire form,
+        # see load_clip) rides the load phase, not the device phase
+        return to_device(clip_np), (eng, warp_cols)
 
     def compute_single(vid, loaded):
-        clip_np, (eng, warp_cols) = loaded
-        return gen_for_engine(eng, warp_cols)(params, to_device(clip_np))
+        clip_dev, (eng, warp_cols) = loaded
+        return gen_for_engine(eng, warp_cols)(params, clip_dev)
 
+    # Overlap degree: on few-core hosts MORE prefetch threads can lose
+    # (concurrent decodes time-slice one core and their device_puts
+    # interleave on the single multiplexed transport) — tunable so the
+    # serving harness can pick the measured-best for the machine.
+    prefetch = int(os.environ.get("JAFPRO_SERVE_PREFETCH", "2"))
+    writers = int(os.environ.get("JAFPRO_SERVE_WRITERS", "2"))
+
+    t0 = time.perf_counter()
+    n_done = 0
     for _ in run_overlapped(list(vids), load_single, compute_single,
-                            write_frames):
-        pass
+                            write_frames, prefetch=prefetch,
+                            writers=writers):
+        n_done += 1
+    loop_s = time.perf_counter() - t0
+    # loop-only serving stats (excludes the per-invocation pipeline
+    # build/param-init/restore setup), for tools/serving_run.py
+    if n_done:
+        stats = {"clips": n_done, "loop_seconds": round(loop_s, 3)}
+        with open(os.path.join(cfg.test_save_dir, args.exp_name,
+                               "serving_stats.json"), "w") as f:
+            json.dump(stats, f)
     print("Testing Done.")
 
 

@@ -96,20 +96,21 @@ def load_clip(
     files = list_clip_files(vid_path)
     T = len(files["img"])
 
-    iuv = np.stack([_imread(p) for p in files["iuv"]]).astype(np.float32)
-    angles = np.array([compute_angle(iuv[i]) for i in range(T)])
+    # image-like fields stay in their uint8 wire form — the generator
+    # normalizes ON DEVICE (infer.VideoGenerator -> train.common
+    # .normalize_batch), so the per-clip H2D transfer ships the decoded
+    # PNG bytes (~36 MB) instead of float32 copies (~146 MB)
+    iuv_u8 = np.stack([_imread(p) for p in files["iuv"]])
+    angles = np.array(
+        [compute_angle(iuv_u8[i].astype(np.float32)) for i in range(T)])
     pro_frames = select_frames_by_angle(angles, num_refs)
     frames = np.clip(pro_frames, 0, 30)
 
-    imgs = np.stack([_imread(p) for p in files["img"]]).astype(np.float32)
-    imgs = (imgs / 255.0 - 0.5) * 2.0  # BGR, matching the reference
+    imgs_u8 = np.stack([_imread(p) for p in files["img"]])  # BGR, as ref
 
-    texture = np.stack(
-        [_imread(files["text"][f]) for f in frames]).astype(np.float32)
-    texture = (texture / 255.0 - 0.5) * 2.0
-    masks = np.stack(
-        [_imread(files["mask"][f])[..., 0] for f in frames]).astype(np.float32)
-    masks = masks / 255.0
+    texture_u8 = np.stack([_imread(files["text"][f]) for f in frames])
+    masks_u8 = np.stack(
+        [_imread(files["mask"][f])[..., 0] for f in frames])
 
     with open(os.path.join(smpl_dir, vid_name, "pose_shape.pkl"), "rb") as f:
         smpl = pickle.load(f)
@@ -120,32 +121,32 @@ def load_clip(
     rm_files = sorted(
         (os.path.join(real_mask_dir, n) for n in os.listdir(real_mask_dir)
          if n.endswith("png")), key=_frame_number)
-    smpl_mask = np.stack(
-        [_imread(p)[..., :1] for p in rm_files]).astype(np.float32) / 255.0
+    smpl_mask = np.stack([_imread(p)[..., :1] for p in rm_files])
 
     # parts layout (host-side reshape; see _atlas_to_parts_np)
-    src_parts = _atlas_to_parts_np(texture, 200)
-    mask_parts = _atlas_to_parts_np(masks[..., None], 200)[..., 0]
+    src_parts = _atlas_to_parts_np(texture_u8, 200)
+    mask_parts = _atlas_to_parts_np(masks_u8[..., None], 200)[..., 0]
 
-    first_iuv = iuv[frames[0]]
-    in_image = (first_iuv[..., 0] > 0).astype(np.float32)[..., None]
+    first_img = (imgs_u8[frames[0]].astype(np.float32) / 255.0 - 0.5) * 2.0
+    in_image = (iuv_u8[frames[0], ..., 0] > 0).astype(np.float32)[..., None]
     rng = rng or np.random.RandomState(0)
-    bg_incomplete = (1 - in_image) * imgs[frames[0]] + in_image * \
-        rng.randn(*imgs[frames[0]].shape).astype(np.float32)
+    # carries unclipped Gaussian noise -> stays float32
+    bg_incomplete = (1 - in_image) * first_img + in_image * \
+        rng.randn(*first_img.shape).astype(np.float32)
 
     return {
         "src_parts": src_parts[None],
         "src_mask_parts": mask_parts[None],
         "ref_mask": np.ones((1, num_refs), np.float32),
         "bg_incomplete": bg_incomplete[None],
-        "src_imgs": imgs[frames],
+        "src_imgs": imgs_u8[frames],
         "chosen_frames": pro_frames.astype(np.int32),
-        "tgt_iuv255": iuv,
-        "tgt_iuv": (iuv / 255.0 - 0.5) * 2.0,
+        "tgt_iuv255": iuv_u8,
+        # tgt_iuv is derived on device from tgt_iuv255 (normalize_batch)
         "smpl_mask": smpl_mask,
         "cams": smpl_seq[:, 0:3],
         "verts": np.asarray(smpl["vertices"], np.float32),
-        "gt_frames": imgs,
+        "gt_frames": (imgs_u8.astype(np.float32) / 255.0 - 0.5) * 2.0,
         "vid_name": vid_name,
         # basenames of the chosen reference frames, for the audit log the
         # reference appends per video (``src/data.py:530-535``)

@@ -98,6 +98,13 @@ class VideoGenerator:
     # z-buffer), "flow" (raster + bc-transform + image warp), "pro"
     # (propagation net).  Output is NOT the real pipeline under ablation.
     ablate: frozenset = frozenset()
+    # Serving epilogue: encode the four output streams to uint8 ON DEVICE
+    # (the same rounding frames_to_uint8 applies on host), so the per-clip
+    # D2H fetch ships 1 byte/channel instead of 4 — measured ~1 s/clip of
+    # fetch+convert at float32 on the remote transport (TUNING.md round
+    # 4), vs ~0.4 s of device compute.  Off by default: training/eval
+    # consumers read float frames.
+    output_uint8: bool = False
 
     def __post_init__(self):
         # propagation with per-sample norm shares the training parameters
@@ -115,6 +122,14 @@ class VideoGenerator:
         return jax.jit(self._generate)
 
     def _generate(self, params: Dict[str, Any], clip: Dict[str, jnp.ndarray]):
+        # uint8 wire-format clips (load_clip) expand to float semantics on
+        # device and tgt_iuv is derived from tgt_iuv255 here; float32 clips
+        # (synthetic/tests) pass through unchanged.  Shipping the decoded
+        # PNG bytes instead of float32 copies cuts the per-clip H2D
+        # transfer ~4x — the serving loop's floor on the remote transport.
+        from jafpro_tpu.train.common import normalize_batch
+
+        clip = normalize_batch(clip)
         pipe = self.pipe
         engine = pipe.flow_engine
         if "prep" in self.ablate or "accu" in self.ablate:
@@ -312,8 +327,18 @@ class VideoGenerator:
             xs = xs + (fold(fim_all), fold(wim_all))
         _, frames = jax.lax.scan(frame_step, None, xs)
         # (T//fb, fb, ...) -> (T, ...)
-        return jax.tree_util.tree_map(
+        out = jax.tree_util.tree_map(
             lambda x: x.reshape((T,) + x.shape[2:]), frames)
+        if self.output_uint8:
+            def enc(x):  # (-1,1) -> u8, matching frames_to_uint8
+                return jnp.clip((x * 0.5 + 0.5) * 255.0, 0, 255
+                                ).astype(jnp.uint8)
+
+            out = {"final": enc(out["final"]), "coarse": enc(out["coarse"]),
+                   "tsf": enc(out["tsf"]),
+                   "mask": jnp.clip(out["mask"] * 255.0, 0, 255
+                                    ).astype(jnp.uint8)}
+        return out
 
     def __call__(self, params, clip) -> Dict[str, np.ndarray]:
         """clip fields:
@@ -327,9 +352,10 @@ class VideoGenerator:
         passed directly.
         Returns dict of (T, S, S, C) arrays: final / coarse / mask / tsf.
         """
-        clip = {k: clip[k] for k in self._CLIP_FIELDS}
+        clip = {k: clip[k] for k in self._CLIP_FIELDS if k in clip}
         return self._jitted(params, clip)
 
+    # tgt_iuv is optional: uint8 wire-format clips derive it on device
     _CLIP_FIELDS = (
         "src_parts", "src_mask_parts", "ref_mask", "bg_incomplete",
         "src_imgs", "chosen_frames", "tgt_iuv255", "tgt_iuv", "smpl_mask",
@@ -349,7 +375,7 @@ class VideoGenerator:
         TPU equivalent of running the reference's single-GPU test script on
         N GPUs at once.  Returns (n_clips, T, S, S, C) arrays.
         """
-        clips = {k: clips[k] for k in self._CLIP_FIELDS}
+        clips = {k: clips[k] for k in self._CLIP_FIELDS if k in clips}
         if mesh is not None:
             from jafpro_tpu.parallel.mesh import replicate, shard_batch
 
@@ -359,6 +385,12 @@ class VideoGenerator:
 
 
 def frames_to_uint8(frames: jnp.ndarray) -> np.ndarray:
-    """(-1, 1) floats -> uint8 images (reference save path)."""
-    x = np.asarray(frames, np.float32)
-    return np.clip((x / 2.0 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    """(-1, 1) floats -> uint8 images (reference save path).
+
+    Passthrough for arrays already uint8 (the ``output_uint8`` generator
+    mode converts on device before the D2H fetch)."""
+    x = np.asarray(frames)
+    if x.dtype == np.uint8:
+        return x
+    return np.clip((x.astype(np.float32) / 2.0 + 0.5) * 255.0,
+                   0, 255).astype(np.uint8)

@@ -86,7 +86,13 @@ def test_load_clip(dance_root):
     assert clip["chosen_names"] == [
         "frame_%06d.jpg" % f
         for f in np.clip(clip["chosen_frames"], 0, 30)]
-    assert -1.01 <= clip["src_parts"].min() and clip["src_parts"].max() <= 1.01
+    # uint8 wire form: image-like fields ship the decoded PNG bytes and
+    # are normalized on device (train.common.normalize_batch)
+    for k in ("src_parts", "src_mask_parts", "src_imgs", "tgt_iuv255",
+              "smpl_mask"):
+        assert clip[k].dtype == np.uint8, k
+    assert "tgt_iuv" not in clip  # derived on device from tgt_iuv255
+    assert clip["bg_incomplete"].dtype == np.float32  # carries noise
 
 
 def test_load_textonly_sample(dance_root):

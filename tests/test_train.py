@@ -424,3 +424,65 @@ def test_stage2_step_consumes_reference_target_count(setup):
     b2["tgt_parts"] = b["tgt_parts"].at[:, 1].add(0.5)
     _, m2 = step(state, b2)
     assert float(m0["loss"]) != float(m2["loss"])
+
+
+def test_video_generator_uint8_clip_equivalence(setup):
+    """A uint8 wire-format clip (load_clip's output form) must produce the
+    SAME video as the float32 clip it decodes to — normalize_batch is the
+    inverse of the shard/clip encoding and tgt_iuv derives from
+    tgt_iuv255.  Tolerance is ~1 input ulp, not bitwise: XLA fuses the
+    device-side x/255*2-1 into a different rounding sequence than the
+    host NumPy control (max observed delta 8e-07 on [-1,1] outputs)."""
+    from jafpro_tpu.data.shardio import encode_field_u8
+
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+
+    u8 = {}
+    f32 = {}
+    for k, v in clip.items():
+        a = np.asarray(v)
+        if k in ("src_parts", "src_imgs"):
+            enc = encode_field_u8(k, a)
+            u8[k] = jnp.asarray(enc)
+            f32[k] = jnp.asarray(enc.astype(np.float32) / 255.0 * 2.0 - 1.0)
+        elif k in ("src_mask_parts", "smpl_mask"):
+            enc = encode_field_u8(k, a)
+            u8[k] = jnp.asarray(enc)
+            f32[k] = jnp.asarray(enc.astype(np.float32) / 255.0)
+        elif k == "tgt_iuv255":
+            enc = np.clip(np.rint(a), 0, 255).astype(np.uint8)
+            u8[k] = jnp.asarray(enc)
+            f32[k] = jnp.asarray(enc.astype(np.float32))
+        elif k == "tgt_iuv":
+            continue  # u8 clip omits it; f32 gets the derived value below
+        else:
+            u8[k] = f32[k] = v
+    f32["tgt_iuv"] = (f32["tgt_iuv255"] / 255.0 - 0.5) * 2.0
+
+    gen = VideoGenerator(pipe)
+    out_u8 = gen(params, u8)
+    out_f32 = gen(params, f32)
+    for k in ("final", "coarse", "mask", "tsf"):
+        np.testing.assert_allclose(
+            np.asarray(out_u8[k]), np.asarray(out_f32[k]),
+            atol=2e-5, rtol=0, err_msg=k)
+
+
+def test_video_generator_output_uint8_matches_host_encode(setup):
+    """output_uint8=True must equal the host-side frames_to_uint8 encode of
+    the float output (up to 1 code at truncation boundaries where XLA's
+    fused multiply rounds the f32 product differently)."""
+    from jafpro_tpu.infer import frames_to_uint8
+
+    pipe, params, batch = setup
+    clip = _tiny_clip(batch)
+    out_f = VideoGenerator(pipe)(params, clip)
+    out_u = VideoGenerator(pipe, output_uint8=True)(params, clip)
+    for k in ("final", "coarse", "tsf"):
+        a = frames_to_uint8(out_f[k]).astype(np.int16)
+        b = np.asarray(out_u[k]).astype(np.int16)
+        assert np.abs(a - b).max() <= 1, k
+    m_a = np.clip(np.asarray(out_f["mask"]) * 255, 0, 255).astype(np.int16)
+    m_b = np.asarray(out_u["mask"]).astype(np.int16)
+    assert np.abs(m_a - m_b).max() <= 1

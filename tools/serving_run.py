@@ -92,8 +92,22 @@ def main():
         "bench_device_fps": round(device_fps, 2),
         "bench_device_spread_pct": round(100 * device_spread, 1),
         "pct_of_device_rate": round(pct, 1),
-        "loop": "overlapped (prefetch=2 decode threads, 2 writer threads)",
+        "loop": "overlapped (prefetch=%s decode threads, %s writer threads)"
+                % (os.environ.get("JAFPRO_SERVE_PREFETCH", "2"),
+                   os.environ.get("JAFPRO_SERVE_WRITERS", "2")),
     }
+    # sustained (loop-only) rate: cmd_infer records the overlapped-loop
+    # wall time, excluding the per-invocation pipeline-build/param-init
+    # setup a long-running server pays once
+    stats_path = os.path.join("test_results", "serving",
+                              "serving_stats.json")
+    if os.path.exists(stats_path):
+        stats = json.load(open(stats_path))
+        loop_fps = a.frames * stats["clips"] / stats["loop_seconds"]
+        record["loop_seconds"] = stats["loop_seconds"]
+        record["frames_per_sec_sustained"] = round(loop_fps, 2)
+        record["pct_of_device_rate_sustained"] = round(
+            100.0 * loop_fps / device_fps, 1) if device_fps else 0.0
     with open(a.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record), flush=True)
