@@ -1,5 +1,12 @@
 """Pallas TPU kernel for the face-index/weight-map rasterizer.
 
+STATUS (round 4): reference design, CPU-interpret-verified only.  Four
+long-budget Mosaic remote-compile attempts on this runtime's tunnel never
+returned (40-45+ min each; TUNING.md rounds 1/3/4) — the kernel is NOT a
+production lever here.  The banded/column-cropped XLA kernel
+(``rasterizer.py``) is the production rasterizer; revisit this kernel on
+a runtime with local Mosaic compiles.
+
 Same math as ``rasterizer._rasterize_single`` (the CUDA-parity z-buffer),
 but executed as a Pallas kernel that:
 
