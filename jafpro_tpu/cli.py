@@ -403,25 +403,35 @@ def cmd_infer(args) -> None:
     import cv2
     import jax.numpy as jnp
 
+    # which output streams to fetch + write (reference writes all four,
+    # conv_pro_test.py:294-304; '--streams final' skips the D2H fetch and
+    # jpg encode of the other three entirely)
+    streams = frozenset(s for s in args.streams.split(",") if s)
+    bad = streams - {"final", "coarse", "mask", "tsf"}
+    if bad or "final" not in streams:
+        raise SystemExit(f"--streams must include 'final' and only "
+                         f"final/coarse/mask/tsf (got {args.streams!r})")
+    _prefix = {"final": "frame", "coarse": "coarse_frame",
+               "mask": "mask_frame", "tsf": "tsf_frame"}
+
     def write_frames(vid, out, clip_idx=None):
         pick = (lambda x: x[clip_idx]) if clip_idx is not None else \
             (lambda x: x)
         save_dir = os.path.join(cfg.test_save_dir, args.exp_name, vid)
         os.makedirs(save_dir, exist_ok=True)
-        finals = frames_to_uint8(pick(out["final"]))
-        coarse = frames_to_uint8(pick(out["coarse"]))
-        tsf = frames_to_uint8(pick(out["tsf"]))
-        masks = np.asarray(pick(out["mask"]))
-        if masks.dtype != np.uint8:  # output_uint8 generators pre-encode
-            masks = np.clip(masks * 255, 0, 255).astype(np.uint8)
-        for i in range(finals.shape[0]):
-            cv2.imwrite(os.path.join(save_dir, f"frame_{i:03d}.jpg"), finals[i])
-            cv2.imwrite(os.path.join(save_dir, f"coarse_frame_{i:03d}.jpg"),
-                        coarse[i])
-            cv2.imwrite(os.path.join(save_dir, f"mask_frame_{i:03d}.jpg"),
-                        masks[i])
-            cv2.imwrite(os.path.join(save_dir, f"tsf_frame_{i:03d}.jpg"),
-                        tsf[i])
+        for s in ("final", "coarse", "mask", "tsf"):
+            if s not in streams:
+                continue
+            if s == "mask":
+                arr = np.asarray(pick(out["mask"]))
+                if arr.dtype != np.uint8:  # output_uint8 pre-encodes
+                    arr = np.clip(arr * 255, 0, 255).astype(np.uint8)
+            else:
+                arr = frames_to_uint8(pick(out[s]))
+            for i in range(arr.shape[0]):
+                cv2.imwrite(
+                    os.path.join(save_dir, f"{_prefix[s]}_{i:03d}.jpg"),
+                    arr[i])
         print("wrote", save_dir)
 
     # the reference appends one line per video naming the chosen reference
@@ -750,6 +760,12 @@ def main(argv: Optional[list] = None) -> None:
     i = sub.add_parser("infer")
     i.add_argument("--exp_name", "-e", default="exp")
     i.add_argument("--num_refs", "-n", type=int, default=4)
+    i.add_argument("--streams", default="final,coarse,mask,tsf",
+                   help="comma-set of output streams to fetch+write "
+                        "(reference writes all four, conv_pro_test.py:"
+                        "294-304; serving that only needs the video passes "
+                        "'final' — the D2H fetch and jpg encode shrink "
+                        "accordingly)")
     i.add_argument("--ablate", default="",
                    help="comma-separated components to stub out (e.g. "
                         "'pro' skips the propagation blend; see "

@@ -351,3 +351,37 @@ def test_infer_cli_serving_smoke(workdir, capsys, monkeypatch):
         assert f"the chosen frame index of video {vid} is" in log
     assert "frame_000000.jpg" in log  # names, not indices (ref format)
     print(f"serving smoke: {4 * len(vids)} frames in {dt:.1f}s")
+
+
+@pytest.mark.slow
+def test_infer_cli_streams_final_only(workdir, capsys, monkeypatch):
+    """`--streams final` writes only frame_*.jpg (the other three output
+    streams are neither fetched from device nor encoded); an invalid set
+    is rejected."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from make_fixture import write_fixture
+
+    fx = str(workdir / "fx2")
+    write_fixture(fx, vids_per_mode=2, frames=4, seed=1)
+    monkeypatch.setenv("JAFPRO_DATA_ROOT", os.path.join(fx, "data"))
+    monkeypatch.setenv("JAFPRO_SMPL_ROOT", os.path.join(fx, "smpl"))
+    monkeypatch.setenv("JAFPRO_MASK_ROOT", os.path.join(fx, "mask"))
+
+    cli.main(["infer", "-e", "only_final", "-n", "2",
+              "--streams", "final"])
+    capsys.readouterr()
+    vid = sorted(os.listdir(os.path.join(fx, "data", "test")))[0]
+    d = os.path.join("test_results", "only_final", vid)
+    names = sorted(os.listdir(d))
+    assert [n for n in names if n.startswith("frame_")], names
+    assert not [n for n in names
+                if n.startswith(("coarse_", "mask_", "tsf_"))], names
+
+    with pytest.raises(SystemExit):
+        cli.main(["infer", "-e", "bad", "--streams", "coarse"])
+    with pytest.raises(SystemExit):
+        cli.main(["infer", "-e", "bad", "--streams", "final,nope"])
