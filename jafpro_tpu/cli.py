@@ -465,6 +465,11 @@ def cmd_infer(args) -> None:
 
     vids = list_videos(cfg.data_root, "test")
     nd = max(args.num_devices, 1)
+    # One timing window + clip counter across BOTH loops (the nd-clip
+    # group path and the remainder single-clip path), so
+    # serving_stats.json represents every served clip (ADVICE r4).
+    t0 = time.perf_counter()
+    n_done = 0
     if nd > 1:
         # whole-clip data parallelism: nd clips per device program
         from jafpro_tpu.parallel import create_mesh
@@ -501,7 +506,7 @@ def cmd_infer(args) -> None:
 
         for _ in run_overlapped(groups, load_group, compute_group,
                                 write_group):
-            pass
+            n_done += nd
         vids = vids[len(vids) - len(vids) % nd:]  # remainder: single path
 
     def load_single(vid):
@@ -522,8 +527,6 @@ def cmd_infer(args) -> None:
     prefetch = int(os.environ.get("JAFPRO_SERVE_PREFETCH", "2"))
     writers = int(os.environ.get("JAFPRO_SERVE_WRITERS", "2"))
 
-    t0 = time.perf_counter()
-    n_done = 0
     for _ in run_overlapped(list(vids), load_single, compute_single,
                             write_frames, prefetch=prefetch,
                             writers=writers):

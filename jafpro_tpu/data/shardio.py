@@ -14,13 +14,68 @@ arrays backed by one contiguous buffer.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import struct
 import subprocess
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 Spec = Sequence[Tuple[str, Tuple[int, ...], str]]
+
+# Shard-file header: magic + format version + a hash of the record spec.
+# Guards against silently reading shards packed under a different spec
+# whose record size happens to divide the file (e.g. a pre-uint8 float32
+# record is exactly 4x the uint8 one).  Headerless files (packed before
+# this header existed) fall back to the size-divisibility check.
+SHARD_MAGIC = b"JFS1"
+SHARD_VERSION = 1
+HEADER_BYTES = 24  # magic[4] + version u32 + spec_hash u64 + reserved u64
+
+
+def spec_hash(spec: Spec) -> int:
+    """Stable 64-bit hash of the record layout (names, shapes, dtypes)."""
+    canon = ";".join(
+        f"{name}:{','.join(map(str, shape))}:{np.dtype(dtype).str}"
+        for name, shape, dtype in spec)
+    return struct.unpack(
+        "<Q", hashlib.blake2b(canon.encode(), digest_size=8).digest())[0]
+
+
+def _pack_header(spec: Spec) -> bytes:
+    return SHARD_MAGIC + struct.pack(
+        "<IQQ", SHARD_VERSION, spec_hash(spec), 0)
+
+
+def _check_header(path: str, spec: Spec, rb: int) -> int:
+    """Validate ``path`` against ``spec``; returns the header size to skip
+    (0 for legacy headerless files, which only get the size check)."""
+    sz = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(HEADER_BYTES)
+    if head[:4] == SHARD_MAGIC:
+        version, shash, _ = struct.unpack("<IQQ", head[4:])
+        if version != SHARD_VERSION:
+            raise IOError(f"{path}: shard format version {version} != "
+                          f"{SHARD_VERSION}; re-run `cli pack`")
+        if shash != spec_hash(spec):
+            raise IOError(
+                f"{path}: shard spec hash {shash:#x} does not match the "
+                f"requested record layout ({spec_hash(spec):#x}) — the "
+                "shard was packed under a different spec (field set, "
+                "shapes, or dtypes differ); re-run `cli pack`")
+        payload = sz - HEADER_BYTES
+        header = HEADER_BYTES
+    else:
+        payload = sz
+        header = 0
+    if payload < 0 or payload % rb:
+        raise IOError(
+            f"{path}: payload {payload} is not a multiple of the record "
+            f"size {rb} — the shard was packed under a different spec "
+            "(e.g. the pre-uint8 float32 format); re-run `cli pack`")
+    return header
 
 _LIB: Optional[ctypes.CDLL] = None
 
@@ -51,8 +106,8 @@ def _lib() -> ctypes.CDLL:
         lib.shardio_open.restype = ctypes.c_void_p
         lib.shardio_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_uint64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-            ctypes.c_int, ctypes.c_int]
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
         lib.shardio_next.restype = ctypes.c_int64
         lib.shardio_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.shardio_num_records.restype = ctypes.c_int64
@@ -80,9 +135,11 @@ def pack_record(spec: Spec, sample: Dict[str, np.ndarray]) -> bytes:
 
 
 def pack_shard(spec: Spec, samples, path: str) -> int:
-    """Write an iterable of sample dicts to one shard file; returns count."""
+    """Write an iterable of sample dicts to one shard file (with the
+    spec-hash header); returns the record count."""
     n = 0
     with open(path, "wb") as f:
+        f.write(_pack_header(spec))
         for s in samples:
             f.write(pack_record(spec, s))
             n += 1
@@ -112,20 +169,18 @@ class ShardReader:
         self.spec = list(spec)
         self.batch = batch
         self.rb = record_bytes(spec)
-        for p in paths:
-            sz = os.path.getsize(p)
-            if sz % self.rb:
-                raise IOError(
-                    f"{p}: size {sz} is not a multiple of the record size "
-                    f"{self.rb} — the shard was packed under a different "
-                    "spec (e.g. the pre-uint8 float32 format); re-run "
-                    "`cli pack`")
+        headers = {p: _check_header(p, spec, self.rb) for p in paths}
+        if len(set(headers.values())) > 1:
+            raise IOError(
+                "mixed headered/headerless shards in one reader: "
+                f"{headers} — re-run `cli pack` on the legacy files")
+        header = next(iter(headers.values())) if headers else 0
         lib = _lib()
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         self._h = lib.shardio_open(
-            arr, len(paths), self.rb, batch, prefetch, threads, seed,
-            int(shuffle), int(loop))
+            arr, len(paths), self.rb, header, batch, prefetch, threads,
+            seed, int(shuffle), int(loop))
         if not self._h:
             raise IOError(f"shardio_open failed for {paths}")
         self.num_records = int(lib.shardio_num_records(self._h))
@@ -209,12 +264,15 @@ U8_RAW_FIELDS = frozenset({"tgt_iuv255"})
 def encode_field_u8(name: str, value: np.ndarray) -> np.ndarray:
     """Float sample field -> its uint8 wire form (exact for PNG-derived
     values: the loaders compute u/255*2-1 and u/255, both of which
-    round-trip through the rounding below bit-exactly)."""
+    round-trip through the rounding below bit-exactly).  Out-of-range
+    values (non-PNG sources) saturate instead of wrapping mod 256."""
     if name in U8_SYMMETRIC_FIELDS:
-        return np.rint((value + 1.0) * 0.5 * 255.0).astype(np.uint8)
-    if name in U8_UNIT_FIELDS:
-        return np.rint(value * 255.0).astype(np.uint8)
-    return np.rint(value).astype(np.uint8)  # raw 0..255 codes
+        scaled = np.rint((value + 1.0) * 0.5 * 255.0)
+    elif name in U8_UNIT_FIELDS:
+        scaled = np.rint(value * 255.0)
+    else:
+        scaled = np.rint(value)  # raw 0..255 codes
+    return np.clip(scaled, 0.0, 255.0).astype(np.uint8)
 
 
 def collapse_target_dims(spec: Spec, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -6,7 +6,9 @@ the exact metric set the reference logs (``video_evaluation.py:184-246``).
 
 SSIM follows skimage's ``compare_ssim`` defaults used by the reference
 (7x7 uniform window, Bessel-corrected covariances, data_range of the dtype);
-MS-SSIM uses the standard 5-scale Wang et al. weights (skvideo-compatible).
+MS-SSIM implements skvideo.measure.msssim's exact algorithm (5-scale
+MultiScaleSSIM, Gaussian fspecial(11,1.5) window, 'product' combination),
+oracle-tested against an independent scipy implementation.
 All metrics run as jnp ops so evaluation can be jitted on device.
 """
 
@@ -64,37 +66,91 @@ def ssim(
     return jnp.mean(s, axis=(1, 2))
 
 
-def _ssim_components(a, b, data_range=1.0, win_size=7):
+def _fspecial_gauss_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """1-D factor of MATLAB's fspecial('gaussian', size, sigma) (the 2-D
+    kernel is the normalized outer product of this with itself)."""
+    radius = size // 2
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _gaussian_filter(x: jnp.ndarray, size: int = 11,
+                     sigma: float = 1.5) -> jnp.ndarray:
+    """Valid-mode fspecial-Gaussian filter over (B, H, W), separable."""
+    g = jnp.asarray(_fspecial_gauss_1d(size, sigma), x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x[:, None], g[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(
+        y, g[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y[:, 0]
+
+
+def _ssim_for_scale(a, b, data_range=1.0, size=11, sigma=1.5):
+    """One MS-SSIM scale: (mean l*cs map, mean cs map), the skvideo /
+    MultiScaleSSIM per-scale statistics (K1=0.01, K2=0.03, Gaussian
+    fspecial(11, 1.5) window, valid convolution)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    K1, K2 = 0.01, 0.03
-    C1 = (K1 * data_range) ** 2
-    C2 = (K2 * data_range) ** 2
-    ux = _uniform_filter(a, win_size)
-    uy = _uniform_filter(b, win_size)
-    uxx = _uniform_filter(a * a, win_size) - ux * ux
-    uyy = _uniform_filter(b * b, win_size) - uy * uy
-    uxy = _uniform_filter(a * b, win_size) - ux * uy
-    l = (2 * ux * uy + C1) / (ux ** 2 + uy ** 2 + C1)
-    cs = (2 * uxy + C2) / (uxx + uyy + C2)
-    return jnp.mean(l, axis=(1, 2)), jnp.mean(cs, axis=(1, 2))
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    mu1 = _gaussian_filter(a, size, sigma)
+    mu2 = _gaussian_filter(b, size, sigma)
+    mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s11 = _gaussian_filter(a * a, size, sigma) - mu11
+    s22 = _gaussian_filter(b * b, size, sigma) - mu22
+    s12 = _gaussian_filter(a * b, size, sigma) - mu12
+    v1 = 2.0 * s12 + C2
+    v2 = s11 + s22 + C2
+    ssim_map = ((2.0 * mu12 + C1) * v1) / ((mu11 + mu22 + C1) * v2)
+    return jnp.mean(ssim_map, axis=(1, 2)), jnp.mean(v1 / v2, axis=(1, 2))
+
+
+def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """skvideo's inter-scale downsample: 2x2 average then stride-2
+    subsample.  For odd H/W the trailing row/column averages with its
+    symmetric reflection (scipy.ndimage mode='reflect'), which for a 2x2
+    kernel means it averages with itself — i.e. edge replication."""
+    B, H, W = x.shape
+    if H % 2 or W % 2:
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2)), mode="edge")
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
 
 
 def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
-    """Multi-scale SSIM on grayscale stacks (B, H, W) -> (B,)."""
-    weights = MSSSIM_WEIGHTS
+    """Multi-scale SSIM on grayscale stacks (B, H, W) -> (B,).
+
+    Matches the reference evaluator's ``skvideo.measure.msssim``
+    (``test/video_evaluation.py:206-212``): 5 scales, Wang et al. power
+    weights, Gaussian fspecial(11, 1.5) window, 'product' combination
+    ``prod(cs_i^w_i, i<4) * ssim_4^w_4`` — cross-validated against an
+    independent NumPy/scipy oracle in ``tests/test_eval_misc.py``.
+
+    Inputs smaller than 11*2^4 = 176 px (which skvideo simply crashes on;
+    the reference only ever evaluates 256x256) use as many scales as fit
+    the 11-px window, with the truncated weights renormalized."""
+    weights = list(MSSSIM_WEIGHTS)
+    sides, s = [], min(a.shape[1], a.shape[2])
+    for _ in weights:
+        sides.append(s)
+        s = (s + 1) // 2  # the reflect downsample ceils odd sizes
+    levels = max(1, sum(1 for s in sides if s >= 11))
+    if levels < len(weights):
+        total = sum(weights[:levels])
+        weights = [w / total for w in weights[:levels]]
     mcs = []
-    lum = None
-    for i in range(len(weights)):
-        l, cs = _ssim_components(a, b, data_range)
-        mcs.append(jnp.maximum(cs, 0.0))
-        lum = jnp.maximum(l, 0.0)
-        if i < len(weights) - 1:
-            a = jax.lax.reduce_window(
-                a, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
-            b = jax.lax.reduce_window(
-                b, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID") / 4.0
-    out = lum ** weights[-1]
+    last_ssim = None
+    for i in range(levels):
+        s, cs = _ssim_for_scale(a, b, data_range)
+        mcs.append(cs)
+        last_ssim = s
+        if i < levels - 1:
+            a = _downsample2(a)
+            b = _downsample2(b)
+    out = last_ssim ** weights[-1]
     for i, w in enumerate(weights[:-1]):
         out = out * mcs[i] ** w
     return out

@@ -12,8 +12,10 @@
 //   * optional per-epoch shuffling with a splitmix64-seeded Fisher-Yates.
 //
 // C ABI (ctypes-friendly):
-//   shardio_open(paths, n_paths, record_bytes, batch, depth, threads,
-//                seed, shuffle) -> handle
+//   shardio_open(paths, n_paths, record_bytes, header_bytes, batch, depth,
+//                threads, seed, shuffle) -> handle
+//     (header_bytes: per-file prefix to skip — the Python layer validates
+//      the magic/spec-hash header and tells us its size)
 //   shardio_next(handle, out_ptr) -> record-index of first element,
 //                                    or -1 at end of stream (if !loop)
 //   shardio_num_records(handle)
@@ -153,8 +155,8 @@ struct Reader {
 extern "C" {
 
 void* shardio_open(const char** paths, int n_paths, uint64_t record_bytes,
-                   int batch, int depth, int threads, uint64_t seed,
-                   int shuffle, int loop) {
+                   uint64_t header_bytes, int batch, int depth, int threads,
+                   uint64_t seed, int shuffle, int loop) {
   auto* r = new Reader();
   r->record_bytes = record_bytes;
   r->batch = batch;
@@ -167,11 +169,13 @@ void* shardio_open(const char** paths, int n_paths, uint64_t record_bytes,
     if (fd < 0) { delete r; return nullptr; }
     struct stat st;
     fstat(fd, &st);
-    uint64_t n = st.st_size / record_bytes;
+    uint64_t payload = st.st_size > (off_t)header_bytes
+                           ? st.st_size - header_bytes : 0;
+    uint64_t n = payload / record_bytes;
     int file_id = static_cast<int>(r->fds.size());
     r->fds.push_back(fd);
     for (uint64_t j = 0; j < n; ++j) {
-      r->records.push_back({file_id, j * record_bytes});
+      r->records.push_back({file_id, header_bytes + j * record_bytes});
     }
   }
   if (r->records.empty()) { delete r; return nullptr; }

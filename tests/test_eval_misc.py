@@ -49,13 +49,93 @@ def test_ssim_matches_reference_formula():
 
 
 def test_psnr_and_msssim():
-    a = jnp.asarray(RNG.rand(1, 128, 128).astype(np.float32))
+    # 5 scales x the 11-px Gaussian window need >= 176 px (same minimum
+    # as skvideo's msssim; the reference evaluates 256x256 frames)
+    a = jnp.asarray(RNG.rand(1, 192, 192).astype(np.float32))
     assert float(psnr(a, a)[0]) > 80
     m = float(ms_ssim(a, a)[0])
     np.testing.assert_allclose(m, 1.0, atol=1e-4)
     b = jnp.clip(a + 0.2 * jnp.asarray(
-        RNG.randn(1, 128, 128).astype(np.float32)), 0, 1)
+        RNG.randn(1, 192, 192).astype(np.float32)), 0, 1)
     assert float(ms_ssim(a, b)[0]) < 0.99
+
+
+def _msssim_oracle(img1: np.ndarray, img2: np.ndarray,
+                   max_val: float = 255.0) -> float:
+    """Independent NumPy/scipy MS-SSIM implementing the exact algorithm of
+    ``skvideo.measure.msssim`` (the reference evaluator's metric,
+    ``/root/reference/test/video_evaluation.py:206-212``): per-scale SSIM
+    with MATLAB fspecial('gaussian', 11, 1.5) valid convolution, 5 scales,
+    power weights [0.0448, 0.2856, 0.3001, 0.2363, 0.1333], downsample by
+    reflect-mode 2x2 average + stride-2 subsample, 'product' combination
+    prod(cs_i^w_i, i<4) * ssim_4^w_4."""
+    from scipy import signal
+    from scipy.ndimage import convolve
+
+    def fspecial_gauss(size, sigma):
+        radius = size // 2
+        x, y = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+        g = np.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
+        return g / g.sum()
+
+    def ssim_scale(a, b):
+        k1, k2 = 0.01, 0.03
+        c1 = (k1 * max_val) ** 2
+        c2 = (k2 * max_val) ** 2
+        window = fspecial_gauss(11, 1.5)
+        mu1 = signal.fftconvolve(a, window, mode="valid")
+        mu2 = signal.fftconvolve(b, window, mode="valid")
+        sigma11 = signal.fftconvolve(a * a, window, mode="valid")
+        sigma22 = signal.fftconvolve(b * b, window, mode="valid")
+        sigma12 = signal.fftconvolve(a * b, window, mode="valid")
+        mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        sigma11 -= mu11
+        sigma22 -= mu22
+        sigma12 -= mu12
+        v1 = 2.0 * sigma12 + c2
+        v2 = sigma11 + sigma22 + c2
+        ssim_val = np.mean(((2.0 * mu12 + c1) * v1) / ((mu11 + mu22 + c1) * v2))
+        cs = np.mean(v1 / v2)
+        return ssim_val, cs
+
+    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+    im1 = img1.astype(np.float64)
+    im2 = img2.astype(np.float64)
+    mssim, mcs = [], []
+    down = np.ones((2, 2)) / 4.0
+    for _ in range(len(weights)):
+        s, cs = ssim_scale(im1, im2)
+        mssim.append(s)
+        mcs.append(cs)
+        im1 = convolve(im1, down, mode="reflect")[::2, ::2]
+        im2 = convolve(im2, down, mode="reflect")[::2, ::2]
+    return float(np.prod(np.asarray(mcs[:-1]) ** weights[:-1])
+                 * mssim[-1] ** weights[-1])
+
+
+@pytest.mark.parametrize("shape", [(176, 176), (256, 256), (181, 163)])
+def test_msssim_matches_skvideo_oracle(shape):
+    """VERDICT r4 #6: the jnp MS-SSIM must agree with an independent
+    scipy implementation of skvideo's exact algorithm (including odd
+    image sizes, which exercise the reflect-mode downsample edge)."""
+    rng = np.random.RandomState(11)
+    base = rng.rand(*shape).astype(np.float32)
+    # smooth a bit so the images look image-like (structured, not iid)
+    from scipy.ndimage import gaussian_filter
+    a = gaussian_filter(base, 3.0)
+    b = np.clip(a + 0.08 * gaussian_filter(
+        rng.randn(*shape).astype(np.float32), 1.0), 0, 1)
+    a = (a * 255).round() / 255.0
+    b = (b * 255).round() / 255.0
+
+    expect = _msssim_oracle(a * 255.0, b * 255.0, max_val=255.0)
+    ours = float(ms_ssim(jnp.asarray(a[None]), jnp.asarray(b[None]),
+                         data_range=1.0)[0])
+    np.testing.assert_allclose(ours, expect, atol=2e-4)
+    # and the degenerate identical case
+    np.testing.assert_allclose(
+        float(ms_ssim(jnp.asarray(a[None]), jnp.asarray(a[None]))[0]),
+        _msssim_oracle(a * 255.0, a * 255.0), atol=2e-4)
 
 
 def test_evaluate_video():

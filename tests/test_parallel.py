@@ -128,3 +128,11 @@ def test_stage4_step_sharded_equals_unsharded():
     """FULL stage-4 GAN step (G + 3 D steps + FD + remat + SMPL-flow):
     2-device DP must reproduce the 1-device params/metrics."""
     _assert_step_sharded_equal(stage=4, n_dev=2, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_stage1_step_sharded_equals_unsharded_8dev():
+    """VERDICT r4 #3: numeric equality on the full 8-way mesh — the
+    configuration the driver's dryrun actually exercises — not just at
+    n_dev=2."""
+    _assert_step_sharded_equal(stage=1, n_dev=8, atol=2e-5)

@@ -1,5 +1,7 @@
 """Native packed-shard reader: pack/read roundtrip, shuffling, prefetch."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -142,3 +144,54 @@ def test_stale_float32_shard_rejected(tmp_path):
         f.write(b"\x00" * 7)  # not a multiple of the 3-byte record
     with pytest.raises(IOError, match="different spec"):
         shardio.ShardReader(spec, [path], batch=1)
+
+
+def test_spec_hash_header_rejects_wrong_spec(tmp_path):
+    """ADVICE r4 (medium): a stale shard whose old record size happens to
+    divide the file (float32 record = 4x the uint8 one) must be refused by
+    the spec-hash header, not silently read as garbage pixels."""
+    old_spec = [("x", (3,), "float32")]   # 12-byte record
+    new_spec = [("x", (3,), "uint8")]     # 3-byte record: divides 12
+    path = str(tmp_path / "old.shard")
+    shardio.pack_shard(
+        old_spec, [{"x": np.zeros(3, np.float32)} for _ in range(4)], path)
+    # sanity: payload IS a multiple of the new record size — only the
+    # header catches this
+    assert (os.path.getsize(path) - shardio.HEADER_BYTES) % 3 == 0
+    with pytest.raises(IOError, match="spec hash"):
+        shardio.ShardReader(new_spec, [path], batch=1)
+    # and the matching spec still opens fine
+    r = shardio.ShardReader(old_spec, [path], batch=2, shuffle=False,
+                            loop=False, threads=1, prefetch=1)
+    assert r.num_records == 4
+    np.testing.assert_array_equal(next(r)["x"], np.zeros((2, 3), np.float32))
+    r.close()
+
+
+def test_headerless_legacy_shard_still_reads(tmp_path):
+    """Files packed before the header existed (raw records) keep working
+    through the size-divisibility fallback."""
+    spec = [("x", (2,), "int32")]
+    path = str(tmp_path / "legacy.shard")
+    with open(path, "wb") as f:  # raw records, no header
+        for i in range(5):
+            f.write(np.asarray([i, -i], np.int32).tobytes())
+    r = shardio.ShardReader(spec, [path], batch=1, shuffle=False,
+                            loop=False, threads=1, prefetch=1)
+    assert r.num_records == 5
+    np.testing.assert_array_equal(next(r)["x"][0], [0, 0])
+    np.testing.assert_array_equal(next(r)["x"][0], [1, -1])
+    r.close()
+
+
+def test_encode_field_u8_saturates_out_of_range():
+    """ADVICE r4 (low): out-of-range floats must saturate, not wrap."""
+    v = np.asarray([-1.5, -1.0, 0.0, 1.0, 1.7], np.float32)
+    enc = shardio.encode_field_u8("src_parts", v)  # symmetric (-1,1)
+    np.testing.assert_array_equal(enc, [0, 0, 128, 255, 255])
+    m = np.asarray([-0.2, 0.0, 1.0, 1.3], np.float32)
+    np.testing.assert_array_equal(
+        shardio.encode_field_u8("smpl_mask", m), [0, 0, 255, 255])
+    raw = np.asarray([-3.0, 0.0, 255.0, 300.0], np.float32)
+    np.testing.assert_array_equal(
+        shardio.encode_field_u8("tgt_iuv255", raw), [0, 0, 255, 255])

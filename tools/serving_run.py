@@ -79,7 +79,13 @@ def main():
         print(f"warm pass: {warm_s:.1f}s", flush=True)
         shutil.rmtree("test_results/serving_warm", ignore_errors=True)
 
-    # 3. measured pass
+    # 3. measured pass.  Remove any stale per-run stats first so a
+    # leftover serving_stats.json from a previous run (different clip
+    # count / frames) can never be folded into SERVING.json (ADVICE r4).
+    stats_path = os.path.join("test_results", "serving",
+                              "serving_stats.json")
+    if os.path.exists(stats_path):
+        os.remove(stats_path)
     seconds = run_infer("serving")
     fps = frames / seconds
     pct = 100.0 * fps / device_fps if device_fps else 0.0
@@ -98,9 +104,8 @@ def main():
     }
     # sustained (loop-only) rate: cmd_infer records the overlapped-loop
     # wall time, excluding the per-invocation pipeline-build/param-init
-    # setup a long-running server pays once
-    stats_path = os.path.join("test_results", "serving",
-                              "serving_stats.json")
+    # setup a long-running server pays once (stats_path was deleted
+    # before the measured pass, so an existing file is always fresh)
     if os.path.exists(stats_path):
         stats = json.load(open(stats_path))
         loop_fps = a.frames * stats["clips"] / stats["loop_seconds"]
