@@ -29,6 +29,10 @@ def main():
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     cfg = Config(compute_dtype="bfloat16", maximum_ref_frames=4,
                  part_conv_impl=os.environ.get("BENCH_PART_CONV", "blocks8"),
+                 # production cli-train config for stage 3/4 at batch<=4:
+                 # remat OFF (fits un-remat'd since the round-5 vjp step;
+                 # 14.76 GiB peak, bench_train_mem.py; cli.cmd_train)
+                 remat_training=os.environ.get("JAFPRO_REMAT", "0") == "1",
                  accu_ref_major=os.environ.get(
                      "JAFPRO_REF_MAJOR", "1") == "1")
     path = default_smpl_faces_path()

@@ -7,7 +7,8 @@ single-chip gap (TUNING.md: 16.09G vs the 15.75G v5e budget at batch 4
 with the round-1 remat settings) without paying a full training run per
 config.
 
-Env knobs: BENCH_TRAIN_BATCH (default 4), JAFPRO_REMAT (default "1"),
+Env knobs: BENCH_TRAIN_BATCH (default 4), BENCH_TRAIN_STAGE (default 4),
+JAFPRO_REMAT (default "1"),
 JAFPRO_REF_MAJOR (default "1": the per-ref unrolled AccumulateLSTM —
 see models/accumulate.py).
 """
@@ -56,10 +57,17 @@ def main():
                         image_size=cfg.image_size, num_verts=num_verts)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
-    step = jax.jit(make_stage4_step(pipe), donate_argnums=(0,))
+    stage = int(os.environ.get("BENCH_TRAIN_STAGE", "4"))
+    if stage == 3:
+        from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
+
+        state = TrainState.create(params, stage3_lrs())
+        step = jax.jit(make_stage3_step(pipe), donate_argnums=(0,))
+    else:
+        step = jax.jit(make_stage4_step(pipe), donate_argnums=(0,))
     compiled = step.lower(state, batch).compile()
     m = compiled.memory_analysis()
-    out = {"batch": B, "remat": cfg.remat_training,
+    out = {"stage": stage, "batch": B, "remat": cfg.remat_training,
            "ref_major": cfg.accu_ref_major}
     if m is not None:
         for k in ("temp_size_in_bytes", "argument_size_in_bytes",

@@ -230,6 +230,10 @@ def cmd_train(args) -> None:
         cfg.face_crop_size = 16
         cfg.compute_dtype = "float32"
         cfg.maximum_ref_frames = 2
+    if args.no_face_gan:
+        cfg.face_GAN = False  # reference flag (options.py; train/4:357-374)
+    if args.dtype:
+        cfg.compute_dtype = args.dtype
     if args.batch_size:
         cfg.batch_size = args.batch_size
     elif args.stage == 2:
@@ -240,6 +244,16 @@ def cmd_train(args) -> None:
     # per-sample speed, ~1.4G lower peak HBM — lets the reference's batch-4
     # stage-4 config train on ONE chip (TUNING.md; models/accumulate.py)
     cfg.accu_ref_major = True
+    # Stage 4 at the reference batch 4: remat OFF.  The round-5
+    # single-forward step + hoisted raster shrank the un-remat'd peak to
+    # 14.76 GiB (bench_train_mem.py), inside the 15.75 GiB v5e budget,
+    # and the step measured 1.397 vs 1.166 it/s remat'd
+    # (BENCH_TRAIN_BREAKDOWN.json).  Stage 3 KEEPS remat: its un-remat'd
+    # batch-4 compile is 16.66 GiB (trainable bg + backprop'd face term;
+    # measured compile refusal, TUNING.md round 5).  JAFPRO_REMAT=1
+    # restores remat for memory-tighter stage-4 configs.
+    if args.stage == 4 and cfg.batch_size <= 4:
+        cfg.remat_training = os.environ.get("JAFPRO_REMAT", "0") == "1"
     if args.debug:
         cfg.model_save_interval = 3
         cfg.vis_interval = 3
@@ -441,12 +455,26 @@ def cmd_infer(args) -> None:
     os.makedirs(audit_dir, exist_ok=True)
     audit_path = os.path.join(audit_dir, "chosen_frame.txt")
 
+    # --packed-clips: serve from the pre-packed clip shard (pack --kind
+    # clips) instead of per-clip PNG decodes — the round-4 phase breakdown
+    # put decode at 0.75 s/clip on a 1-core host (TUNING.md), all of which
+    # moves to pack time.  Matches the training path's uint8 wire format.
+    pack_reader = None
+    if getattr(args, "packed_clips", ""):
+        from jafpro_tpu.data.shardio import ClipPackReader
+
+        pack_reader = ClipPackReader(args.packed_clips)
+        _vid_idx = {v: i for i, v in enumerate(pack_reader.vids)}
+
     def load_one(vid):
-        clip = load_clip(
-            os.path.join(cfg.data_root, "test"),
-            os.path.join(cfg.smpl_root, "test"),
-            os.path.join(cfg.mask_root, "test"),
-            vid, num_refs=args.num_refs)
+        if pack_reader is not None:
+            clip = pack_reader.load(_vid_idx[vid])
+        else:
+            clip = load_clip(
+                os.path.join(cfg.data_root, "test"),
+                os.path.join(cfg.smpl_root, "test"),
+                os.path.join(cfg.mask_root, "test"),
+                vid, num_refs=args.num_refs)
         msg = "the chosen frame index of video %s is" % vid
         msg += "".join(",%s" % n for n in clip["chosen_names"])
         with open(audit_path, "a") as f:
@@ -463,7 +491,8 @@ def cmd_infer(args) -> None:
     # own timing shows host prep dominating.
     from jafpro_tpu.utils.overlap import run_overlapped
 
-    vids = list_videos(cfg.data_root, "test")
+    vids = (list(pack_reader.vids) if pack_reader is not None
+            else list_videos(cfg.data_root, "test"))
     nd = max(args.num_devices, 1)
     # One timing window + clip counter across BOTH loops (the nd-clip
     # group path and the remainder single-clip path), so
@@ -717,9 +746,15 @@ def cmd_gif(args) -> None:
 
 def cmd_pack(args) -> None:
     from jafpro_tpu.config import get_general_options
-    from jafpro_tpu.data.shardio import pack_dancevideo
+    from jafpro_tpu.data.shardio import pack_dancevideo, pack_test_clips
 
     cfg = get_general_options()
+    if args.kind == "clips":
+        n = pack_test_clips(
+            cfg.data_root, cfg.smpl_root, cfg.mask_root, args.out,
+            mode=args.mode, num_refs=args.num_refs)
+        print(f"packed {n} clips into {args.out}")
+        return
     n = pack_dancevideo(
         cfg.data_root, cfg.smpl_root, cfg.mask_root,
         args.out, mode=args.mode, kind=args.kind,
@@ -758,6 +793,12 @@ def main(argv: Optional[list] = None) -> None:
     t.add_argument("--resume", action="store_true",
                    help="resume params+optimizer+step from the latest "
                    "checkpoint in the experiment dir")
+    t.add_argument("--no-face-gan", action="store_true",
+                   help="disable the face GAN (reference face_GAN option: "
+                   "no face-D updates, no F_errG term)")
+    t.add_argument("--dtype", default="",
+                   help="override compute_dtype (e.g. float32 for the "
+                   "bf16-vs-f32 training-parity ablation)")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer")
@@ -776,6 +817,9 @@ def main(argv: Optional[list] = None) -> None:
     i.add_argument("--num-devices", type=int, default=0,
                    help="shard whole clips across a data-parallel mesh "
                    "(serving scale-out; 0/1 = single device)")
+    i.add_argument("--packed-clips", default="",
+                   help="serve from a packed clip shard (pack --kind "
+                   "clips --mode test) instead of per-clip PNG decodes")
     i.set_defaults(fn=cmd_infer)
 
     e = sub.add_parser("evaluate")
@@ -807,8 +851,9 @@ def main(argv: Optional[list] = None) -> None:
     k.add_argument("--out", required=True)
     k.add_argument("--mode", default="train", choices=["train", "test"])
     k.add_argument("--kind", default="interval",
-                   choices=["interval", "textonly"],
-                   help="interval = stage-3/4 records, textonly = stage-1/2")
+                   choices=["interval", "textonly", "clips"],
+                   help="interval = stage-3/4 records, textonly = stage-1/2,"
+                   " clips = whole serving clips for `infer --packed-clips`")
     k.add_argument("--samples_per_video", type=int, default=4)
     k.add_argument("--num_refs", type=int, default=4)
     k.add_argument("--seed", type=int, default=0)

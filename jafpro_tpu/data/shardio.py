@@ -315,6 +315,142 @@ def stage_spec(stage: int, num_refs: int = 4, num_target: int = 3,
                          num_verts=num_verts)
 
 
+def clip_spec(num_refs: int = 4, frames: int = 30, image_size: int = 256,
+              part_size: int = 200, num_parts: int = 24,
+              num_verts: int = 6890) -> Spec:
+    """Record layout for one whole SERVING clip (the ``cli infer`` input:
+    every field ``data.dataset.load_clip`` assembles, minus the gt frames).
+
+    Packing test clips moves the serving loop's per-clip host work — PNG
+    decodes, the angle-based reference selection, the parts reshape —
+    to pack time: the measured round-4 breakdown attributed 0.75 s/clip
+    to decode alone on a 1-core host (TUNING.md round 4; reference serial
+    loop ``test/conv_pro_test.py:143-163``)."""
+    S, p, P, R, T = image_size, part_size, num_parts, num_refs, frames
+    return [
+        ("src_parts", (R, P, p, p, 3), "uint8"),
+        ("src_mask_parts", (R, P, p, p), "uint8"),
+        ("bg_incomplete", (S, S, 3), "float32"),
+        ("src_imgs", (R, S, S, 3), "uint8"),
+        ("chosen_frames", (R,), "int32"),
+        ("tgt_iuv255", (T, S, S, 3), "uint8"),
+        ("smpl_mask", (T, S, S, 1), "uint8"),
+        ("cams", (T, 3), "float32"),
+        ("verts", (T, num_verts, 3), "float32"),
+    ]
+
+
+def pack_test_clips(data_root: str, smpl_root: str, mask_root: str,
+                    out_dir: str, mode: str = "test",
+                    num_refs: int = 4) -> int:
+    """Pack every ``mode`` clip into ``<out_dir>/{mode}-clips-00000.shard``
+    + ``index.json`` (vid names, chosen reference-frame names, shapes).
+    Returns the clip count."""
+    import json as _json
+
+    from jafpro_tpu.data.dataset import list_videos, load_clip
+
+    vids = list_videos(data_root, mode)
+    if not vids:
+        raise FileNotFoundError(f"no {mode} videos under {data_root}")
+    os.makedirs(out_dir, exist_ok=True)
+    index = {"mode": mode, "num_refs": num_refs, "vids": [],
+             "chosen_names": []}
+    spec = None
+
+    def gen():
+        nonlocal spec
+        for vid in vids:
+            c = load_clip(os.path.join(data_root, mode),
+                          os.path.join(smpl_root, mode),
+                          os.path.join(mask_root, mode),
+                          vid, num_refs=num_refs)
+            if spec is None:
+                spec = clip_spec(
+                    num_refs=num_refs, frames=c["tgt_iuv255"].shape[0],
+                    image_size=c["tgt_iuv255"].shape[1],
+                    part_size=c["src_parts"].shape[-2],
+                    num_parts=c["src_parts"].shape[2],
+                    num_verts=c["verts"].shape[1])
+            rec = {}
+            for name, shape, dtype in spec:
+                v = np.asarray(c[name])
+                if v.shape != tuple(shape):
+                    v = v.reshape(shape)  # strip the loader's batch dim
+                if np.dtype(dtype) != v.dtype:
+                    if dtype == "uint8":
+                        v = encode_field_u8(name, v)
+                    else:
+                        v = v.astype(dtype)
+                rec[name] = v
+            index["vids"].append(vid)
+            index["chosen_names"].append(list(c["chosen_names"]))
+            yield rec
+
+    # spec depends on the first clip: prime the generator before writing
+    it = iter(gen())
+    first = next(it)
+
+    def chained():
+        yield first
+        yield from it
+
+    n = pack_shard(spec, chained(),
+                   os.path.join(out_dir, f"{mode}-clips-00000.shard"))
+    index["spec"] = [[name, list(shape), dtype]
+                     for name, shape, dtype in spec]
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        _json.dump(index, f)
+    return n
+
+
+class ClipPackReader:
+    """Random-access reader over a packed serving-clip shard
+    (``pack_test_clips`` output).  ``load(i)`` returns the same dict
+    ``load_clip`` would (minus ``gt_frames``), in the uint8 wire form the
+    generator normalizes on device."""
+
+    def __init__(self, pack_dir: str):
+        import json as _json
+
+        with open(os.path.join(pack_dir, "index.json")) as f:
+            self.index = _json.load(f)
+        self.spec: Spec = [
+            (name, tuple(shape), dtype)
+            for name, shape, dtype in self.index["spec"]]
+        self.vids: List[str] = self.index["vids"]
+        self.num_refs: int = self.index["num_refs"]
+        self.rb = record_bytes(self.spec)
+        self.path = os.path.join(
+            pack_dir, f"{self.index['mode']}-clips-00000.shard")
+        self._header = _check_header(self.path, self.spec, self.rb)
+        n = (os.path.getsize(self.path) - self._header) // self.rb
+        if n != len(self.vids):
+            raise IOError(
+                f"{self.path}: {n} records but index lists "
+                f"{len(self.vids)} vids — repack")
+
+    def __len__(self) -> int:
+        return len(self.vids)
+
+    def load(self, i: int) -> Dict[str, np.ndarray]:
+        with open(self.path, "rb") as f:
+            f.seek(self._header + i * self.rb)
+            buf = np.frombuffer(f.read(self.rb), np.uint8)
+        rec = unpack_batch(self.spec, buf, 1)
+        out = {}
+        for name, shape, _ in self.spec:
+            v = rec[name][0]
+            # restore the loader's batch-dim layout (load_clip contract)
+            if name in ("src_parts", "src_mask_parts", "bg_incomplete"):
+                v = v[None]
+            out[name] = v
+        out["ref_mask"] = np.ones((1, self.num_refs), np.float32)
+        out["vid_name"] = self.vids[i]
+        out["chosen_names"] = self.index["chosen_names"][i]
+        return out
+
+
 def pack_dancevideo(
     data_root: str, smpl_root: str, mask_root: str, out_dir: str,
     mode: str = "train", samples_per_video: int = 4, num_refs: int = 4,

@@ -135,6 +135,7 @@ class JAFProPipeline:
         prev_img: jnp.ndarray,         # (B, S, S, 3)
         prev_cam: jnp.ndarray, prev_verts: jnp.ndarray,
         tgt_cam: jnp.ndarray, tgt_verts: jnp.ndarray,
+        tsf: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         S = self.cfg.image_size
         warped = texture_warp(inpainted_parts, tgt_iuv255)
@@ -145,9 +146,13 @@ class JAFProPipeline:
         # rasterizer is likewise forward-only on this path — SURVEY §2.4
         # #20), so cut autodiff here: without this, grad saves the
         # rasterizer's (pixels x face-chunk) scan residuals (tens of GB).
-        tsf = jax.lax.stop_gradient(self.flow_engine(
-            prev_img, prev_cam, prev_verts, tgt_cam, tgt_verts
-        ))
+        # Callers that wrap this function in jax.checkpoint pass a
+        # precomputed ``tsf`` instead: as a remat *input* it is saved, not
+        # recomputed, so the backward pass never re-rasterizes.
+        if tsf is None:
+            tsf = jax.lax.stop_gradient(self.flow_engine(
+                prev_img, prev_cam, prev_verts, tgt_cam, tgt_verts
+            ))
         out = self.pro.apply(
             params["pro"], fusion, tsf, tgt_iuv, smpl_mask
         )

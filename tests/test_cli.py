@@ -385,3 +385,41 @@ def test_infer_cli_streams_final_only(workdir, capsys, monkeypatch):
         cli.main(["infer", "-e", "bad", "--streams", "coarse"])
     with pytest.raises(SystemExit):
         cli.main(["infer", "-e", "bad", "--streams", "final,nope"])
+
+
+@pytest.mark.slow
+def test_infer_packed_clips_matches_decoded_path(workdir, capsys,
+                                                 monkeypatch):
+    """`infer --packed-clips` (serving from the packed uint8 clip shard)
+    writes byte-identical frames to the per-clip PNG-decode path: the
+    pack stores exactly what load_clip assembles (VERDICT r4 next #2)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from make_fixture import write_fixture
+
+    fx = str(workdir / "fxp")
+    write_fixture(fx, vids_per_mode=2, frames=4, seed=2)
+    monkeypatch.setenv("JAFPRO_DATA_ROOT", os.path.join(fx, "data"))
+    monkeypatch.setenv("JAFPRO_SMPL_ROOT", os.path.join(fx, "smpl"))
+    monkeypatch.setenv("JAFPRO_MASK_ROOT", os.path.join(fx, "mask"))
+
+    cli.main(["pack", "--out", str(workdir / "cpack"), "--mode", "test",
+              "--kind", "clips", "--num_refs", "2"])
+    cli.main(["infer", "-e", "dec", "-n", "2"])
+    cli.main(["infer", "-e", "pk", "-n", "2",
+              "--packed-clips", str(workdir / "cpack")])
+    capsys.readouterr()
+
+    vids = sorted(os.listdir(os.path.join(fx, "data", "test")))
+    for vid in vids:
+        dd = os.path.join("test_results", "dec", vid)
+        pd = os.path.join("test_results", "pk", vid)
+        names = sorted(os.listdir(dd))
+        assert sorted(os.listdir(pd)) == names
+        for n in names:
+            with open(os.path.join(dd, n), "rb") as a, \
+                    open(os.path.join(pd, n), "rb") as b:
+                assert a.read() == b.read(), (vid, n)

@@ -195,3 +195,46 @@ def test_encode_field_u8_saturates_out_of_range():
     raw = np.asarray([-3.0, 0.0, 255.0, 300.0], np.float32)
     np.testing.assert_array_equal(
         shardio.encode_field_u8("tgt_iuv255", raw), [0, 0, 255, 255])
+
+
+def test_clip_pack_roundtrip_matches_load_clip(tmp_path):
+    """pack --kind clips: the ClipPackReader must return exactly what
+    load_clip assembles (the u8 fields are already u8 at the loader, so
+    the round-trip is bit-exact; float fields are stored verbatim)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from make_fixture import write_fixture
+
+    from jafpro_tpu.data.dataset import list_videos, load_clip
+
+    fx = str(tmp_path / "fx")
+    write_fixture(fx, vids_per_mode=2, frames=4, seed=3)
+    data = os.path.join(fx, "data")
+    smpl = os.path.join(fx, "smpl")
+    mask = os.path.join(fx, "mask")
+    out = str(tmp_path / "clip_pack")
+    n = shardio.pack_test_clips(data, smpl, mask, out, mode="test",
+                                num_refs=2)
+    vids = list_videos(data, "test")
+    assert n == len(vids)
+
+    r = shardio.ClipPackReader(out)
+    assert r.vids == vids
+    for i, vid in enumerate(vids):
+        want = load_clip(os.path.join(data, "test"),
+                         os.path.join(smpl, "test"),
+                         os.path.join(mask, "test"), vid, num_refs=2)
+        got = r.load(i)
+        assert got["vid_name"] == vid
+        assert got["chosen_names"] == list(want["chosen_names"])
+        for k in ("src_parts", "src_mask_parts", "src_imgs", "tgt_iuv255",
+                  "smpl_mask", "chosen_frames", "ref_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+            assert got[k].dtype == np.asarray(want[k]).dtype, k
+        for k in ("bg_incomplete", "cams", "verts"):
+            np.testing.assert_allclose(
+                got[k], np.asarray(want[k], np.float32), err_msg=k)

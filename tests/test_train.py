@@ -129,6 +129,51 @@ def test_stage4_step(setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("stage", [3, 4])
+def test_gan_step_vjp_form_equals_grad_form(setup, stage):
+    """The production single-forward (vjp) GAN step computes the SAME
+    gradients as the transliterated two-forward form: the generator params
+    don't change between the D updates and the G step, so capturing one
+    forward with jax.vjp (and hoisting the parameter-free SMPL-flow tsf
+    out of the remat region) is an exact restructure, not an
+    approximation (reference reuses one forward's graph the same way,
+    ``train/4.convLSTM_flowpro_interval.py:396-408``).
+
+    Compared with an identity optimizer (param delta == -grad): Adam's
+    g/sqrt(v) normalization would amplify float-reassociation noise on
+    near-zero gradients into O(lr) param flips, which tests optimizer
+    sensitivity, not the restructure."""
+    import optax
+
+    from jafpro_tpu.train.stage34 import make_stage3_step, stage3_lrs
+
+    pipe, params, batch = setup
+    make = make_stage3_step if stage == 3 else make_stage4_step
+    lrs = stage3_lrs() if stage == 3 else stage4_lrs()
+    out = {}
+    for form in ("grad", "vjp"):
+        txs = {k: optax.sgd(1e-3) for k in lrs}
+        state = TrainState(
+            params=params,
+            opt_states={k: txs[k].init(params[k]) for k in txs},
+            txs=txs, step=jnp.zeros((), jnp.int32))
+        step = jax.jit(make(pipe, form=form))
+        state, m = step(state, batch)
+        state, m = step(state, batch)  # 2 steps: updated-D path exercised
+        out[form] = (state.params, m)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    jax.tree_util.tree_map_with_path(check, out["grad"][0], out["vjp"][0])
+    for k in out["grad"][1]:
+        np.testing.assert_allclose(
+            float(out["grad"][1][k]), float(out["vjp"][1][k]),
+            rtol=5e-4, atol=1e-6, err_msg=k)
+
+
 def test_curriculum_sampler():
     rng = np.random.RandomState(3)
     counts = np.zeros(5)

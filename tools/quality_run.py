@@ -12,8 +12,16 @@ dataset cannot be hosted in this environment (reference acceptance:
         -> stage 4 (accu+inpaint+bg+refine)
 
 Usage (from a scratch workdir; TPU by default):
-    python tools/quality_run.py --fixture /tmp/jafpro_fixture \
-        --iters1 200 --iters2 150 --iters3 150 --iters4 200 --batch 2
+    python tools/quality_run.py --fixture /tmp/jafpro_fixture_r5 \
+        --iters1 120 --iters2 480 --iters3 480 --iters4 1000 --batch 2
+
+Round-5 defaults follow the reference's stage ratios (5k:20k:20k:42k ~
+1:4:4:8.4, README.md:121-124) at ~3x the round-4 budget, on a 5-identity
+30-frame fixture (built automatically when --fixture does not exist).
+Two extra ablation rows retrain stage 4 from the same stage-3 warm start:
+``after_no_face_gan`` (reference ``face_GAN`` off — the other half of the
+adversarial machinery, train/4:357-374) and ``after_f32`` (float32
+compute vs the production bf16 — the TPU-native parity question).
 
 Writes QUALITY.json + per-phase frame dirs under the cwd.
 """
@@ -56,15 +64,29 @@ def evaluate_dirs(pred_root: str, gt_root: str, hooks: dict) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", required=True)
-    ap.add_argument("--iters1", type=int, default=200)
-    ap.add_argument("--iters2", type=int, default=150)
-    ap.add_argument("--iters3", type=int, default=150)
-    ap.add_argument("--iters4", type=int, default=200)
+    ap.add_argument("--iters1", type=int, default=120)
+    ap.add_argument("--iters2", type=int, default=480)
+    ap.add_argument("--iters3", type=int, default=480)
+    ap.add_argument("--iters4", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--num-refs", type=int, default=4)
     ap.add_argument("--samples-per-video", type=int, default=24)
+    ap.add_argument("--vids", type=int, default=6,
+                    help="fixture identities when building it (train gets "
+                    "--vids clips, each with its own procedural atlas; "
+                    "test gets --vids - 1)")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--skip-ablations", action="store_true",
+                    help="skip the face-GAN-off and f32 stage-4 retrains")
     ap.add_argument("--out", default="QUALITY.json")
     a = ap.parse_args()
+
+    if not os.path.isdir(os.path.join(a.fixture, "data", "train")):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_fixture import write_fixture
+
+        write_fixture(a.fixture, vids_per_mode=a.vids, frames=a.frames,
+                      seed=0)
 
     os.environ["JAFPRO_DATA_ROOT"] = os.path.join(a.fixture, "data")
     os.environ["JAFPRO_SMPL_ROOT"] = os.path.join(a.fixture, "smpl")
@@ -139,6 +161,22 @@ def main():
     print("after_no_propagation:", record["after_no_propagation"],
           flush=True)
 
+    # 6b. two stage-4 ablation retrains from the same stage-3 warm start
+    if not a.skip_ablations:
+        for exp, extra, row in (
+                ("q_s4_nofgan", ["--no-face-gan"], "after_no_face_gan"),
+                ("q_s4_f32", ["--dtype", "float32"], "after_f32")):
+            print(f"=== train stage 4 ablation {exp} ===", flush=True)
+            cli.main(["train", "--stage", "4", "-n", exp,
+                      "--iters", str(a.iters4), "--batch-size", str(a.batch),
+                      "--shards", shards["interval"],
+                      "--init-from", "q_s3", *extra])
+            print(f"=== infer ({exp}) ===", flush=True)
+            cli.main(["infer", "-e", exp, "-n", str(a.num_refs)])
+            shutil.move(f"test_results/{exp}", f"pred_{exp}")
+            record[row] = evaluate_dirs(f"pred_{exp}", gt_root, hooks)
+            print(f"{row}:", record[row], flush=True)
+
     # 7. merge the per-stage training loss series into one auditable file
     with open("quality_losses.jsonl", "w") as lf:
         for stage in (1, 2, 3, 4):
@@ -151,6 +189,9 @@ def main():
         b, t = record["before"][k], record["after"][k]
         np_ = record["after_no_propagation"][k]
         print(f"{k}: {b:.4f} -> {t:.4f} (no-pro {np_:.4f})")
+    for row in ("after_no_face_gan", "after_f32"):
+        if row in record:
+            print(row, {k: round(v, 4) for k, v in record[row].items()})
     with open(a.out, "w") as f:
         json.dump(record, f, indent=1)
     print("wrote", a.out)
