@@ -38,6 +38,35 @@ def run_overlapped(
     all writes are joined before the iterator is exhausted."""
     if not items:
         return
+    import os
+
+    if os.environ.get("JAFPRO_SERVE_PHASES", "") == "1":
+        # opt-in phase profile: per-item wall seconds inside each phase
+        # (phases overlap, so these are occupancy times, not a serial sum)
+        import time
+
+        times = {"load": [], "compute": [], "write": []}
+
+        def timed(name, fn):
+            def wrap(*a):
+                t0 = time.perf_counter()
+                try:
+                    return fn(*a)
+                finally:
+                    times[name].append(time.perf_counter() - t0)
+            return wrap
+
+        load = timed("load", load)
+        compute = timed("compute", compute)
+        write = timed("write", write)
+        import atexit
+        import statistics
+
+        def report():
+            row = {k: round(statistics.median(v), 3)
+                   for k, v in times.items() if v}
+            print(f"serve phase medians (s/item): {row}", flush=True)
+        atexit.register(report)
     with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as loader, \
             ThreadPoolExecutor(max_workers=max(writers, 1)) as writer:
         pending = []  # write futures
